@@ -8,8 +8,16 @@ for real in CI.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force CPU even when the environment pins JAX to the TPU tunnel (there,
+# fp32 convs run in bf16 and golden parity tests would fail). The env var is
+# not enough: sitecustomize re-registers the TPU platform, so override the
+# config knob after import as well.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
