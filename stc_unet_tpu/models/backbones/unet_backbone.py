@@ -1,0 +1,191 @@
+"""STC U-Net encoder backbone.
+
+TPU-native rebuild of reference ``mmseg/models/backbones/unet_backbone.py:16``
+(UnetBackbone / KernelSelectAttention / TransformerBlock / Down / DoubleConv).
+NHWC throughout. The 'S' (selective kernel), 'T' (transformer) and 'C'
+(coordinate attention, in the head) modules are the author's STC additions.
+
+Performance notes (TPU): the three KSA branch convs run as independent
+XLA convs that share the input (fused by XLA); attention at the x4/x5 scales
+(4096/1024 tokens, width 512) uses a single fused QKV-style einsum chain that
+maps onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..bricks import BatchNorm, Conv2d, Linear, max_pool2d
+from ..builder import BACKBONES
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 → BN → ReLU) × 2 — reference ``unet_backbone.py:116``."""
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv2d(self.out_ch, 3, padding=1, name='conv0')(x)
+        x = BatchNorm(name='bn1')(x, train=train)
+        x = nn.relu(x)
+        x = Conv2d(self.out_ch, 3, padding=1, name='conv3')(x)
+        x = BatchNorm(name='bn4')(x, train=train)
+        x = nn.relu(x)
+        return x
+
+
+class Down(nn.Module):
+    """MaxPool(2) + DoubleConv — reference ``unet_backbone.py:102``."""
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = max_pool2d(x, 2)
+        return DoubleConv(self.out_ch, name='conv')(x, train=train)
+
+
+class KernelSelectAttention(nn.Module):
+    """SK-style multi-kernel attention — reference ``unet_backbone.py:55``.
+
+    Parallel 3/5/7 convs (+BN+ReLU) → global-avg-pool → FC bottleneck
+    (d = max(L, C/reduction)) → per-kernel FC → softmax over the kernel axis
+    → weighted sum of branch outputs.
+    """
+    channel: int = 512
+    kernels: Sequence[int] = (3, 5, 7)
+    reduction: int = 16
+    group: int = 1
+    L: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.channel
+        d = max(self.L, c // self.reduction)
+        conv_outs = []
+        for i, k in enumerate(self.kernels):
+            h = Conv2d(c, k, padding=k // 2, groups=self.group,
+                       name=f'conv{i}')(x)
+            h = BatchNorm(name=f'bn{i}')(h, train=train)
+            conv_outs.append(nn.relu(h))
+        feats = jnp.stack(conv_outs, axis=0)          # (k, N, H, W, C)
+        U = sum(conv_outs)                            # (N, H, W, C)
+        S = jnp.mean(U, axis=(1, 2))                  # (N, C)
+        Z = Linear(d, name='fc')(S)                   # (N, d)
+        weights = [Linear(c, name=f'fcs{i}')(Z)
+                   for i in range(len(self.kernels))]
+        att = jnp.stack(weights, axis=0)              # (k, N, C)
+        att = nn.softmax(att, axis=0)
+        att = att[:, :, None, None, :]                # (k, N, 1, 1, C)
+        return jnp.sum(att * feats, axis=0)
+
+
+class MultiheadAttention(nn.Module):
+    """torch ``nn.MultiheadAttention`` parameterization (batch of tokens).
+
+    Stored as packed in_proj (3C, C) + out_proj, so torch checkpoints map
+    key-for-key. Input (N, L, C).
+    """
+    embed_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        c, h = self.embed_dim, self.num_heads
+        hd = c // h
+        in_w = self.param('in_proj_weight', nn.initializers.xavier_uniform(),
+                          (3 * c, c), jnp.float32)
+        in_b = self.param('in_proj_bias', nn.initializers.zeros, (3 * c,),
+                          jnp.float32)
+        q = q @ in_w[:c].T + in_b[:c]
+        k = k @ in_w[c:2 * c].T + in_b[c:2 * c]
+        v = v @ in_w[2 * c:].T + in_b[2 * c:]
+        n, lq = q.shape[0], q.shape[1]
+        lk = k.shape[1]
+        q = q.reshape(n, lq, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(n, lk, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(n, lk, h, hd).transpose(0, 2, 1, 3)
+        att = jnp.einsum('nhqd,nhkd->nhqk', q, k) / jnp.sqrt(hd).astype(q.dtype)
+        att = nn.softmax(att, axis=-1)
+        out = jnp.einsum('nhqk,nhkd->nhqd', att, v)
+        out = out.transpose(0, 2, 1, 3).reshape(n, lq, c)
+        return Linear(c, name='out_proj')(out)
+
+
+class TransformerLayer(nn.Module):
+    """ViT layer without LayerNorm — reference ``unet_backbone.py:195``.
+
+    Note the reference applies extra q/k/v Linears (bias-free) *before*
+    nn.MultiheadAttention's own in_proj; replicated here for parity.
+    """
+    c: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        q = Linear(self.c, use_bias=False, name='q')(x)
+        k = Linear(self.c, use_bias=False, name='k')(x)
+        v = Linear(self.c, use_bias=False, name='v')(x)
+        x = MultiheadAttention(self.c, self.num_heads, name='ma')(q, k, v) + x
+        h = Linear(self.c, use_bias=False, name='fc1')(x)
+        x = Linear(self.c, use_bias=False, name='fc2')(h) + x
+        return x
+
+
+class TransformerBlock(nn.Module):
+    """Tokenize HW → pos-embed Linear → N transformer layers → un-tokenize.
+
+    Reference ``unet_backbone.py:229-246``. c1 == c2 in the STC config so the
+    channel-matching pre-conv is omitted (reference only adds it when
+    c1 != c2).
+    """
+    c2: int
+    num_heads: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        assert c == self.c2, 'channel-matching conv not needed in STC config'
+        p = x.reshape(n, h * w, c)
+        p = p + Linear(self.c2, name='linear')(p)
+        for i in range(self.num_layers):
+            p = TransformerLayer(self.c2, self.num_heads, name=f'tr{i}')(p)
+        return p.reshape(n, h, w, self.c2)
+
+
+@BACKBONES.register_module()
+class UnetBackbone(nn.Module):
+    """5-scale U-Net encoder — reference ``unet_backbone.py:16``.
+
+    channels [c0, c1, c2, c3, c3]; optional KSA residuals on x1..x3 and
+    transformer residuals at x4/x5.
+    """
+    in_channels: int = 3
+    channel_list: Sequence[int] = (64, 128, 256, 512)
+    context_layer: Optional[str] = None
+    coord_att: bool = False
+    transformer_block: bool = False
+    init_cfg: Optional[dict] = None
+    pretrained: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cl = list(self.channel_list)
+        x1 = DoubleConv(cl[0], name='inc')(x, train=train)
+        x2 = Down(cl[1], name='down1')(x1, train=train)
+        x3 = Down(cl[2], name='down2')(x2, train=train)
+        x4 = Down(cl[3], name='down3')(x3, train=train)
+        x5 = Down(cl[3], name='down4')(x4, train=train)
+        if self.context_layer == 'kernelselect':
+            x1 = x1 + KernelSelectAttention(cl[0], name='context_layer1_1')(
+                x1, train=train)
+            x2 = x2 + KernelSelectAttention(cl[1], name='context_layer2_1')(
+                x2, train=train)
+            x3 = x3 + KernelSelectAttention(cl[2], name='context_layer3_1')(
+                x3, train=train)
+        if self.transformer_block:
+            x4 = TransformerBlock(cl[3], 2, 4, name='aspp4')(x4, train=train) + x4
+            x5 = TransformerBlock(cl[3], 2, 4, name='aspp5')(x5, train=train) + x5
+        return [x1, x2, x3, x4, x5]

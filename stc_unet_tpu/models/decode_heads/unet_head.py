@@ -1,0 +1,103 @@
+"""U-Net decoder head with optional coordinate attention.
+
+TPU-native rebuild of reference ``mmseg/models/decode_heads/unet_head.py:12``
+(UnetHead / Up / DoubleConv / CoordAtt). NHWC; upsampling via the
+torch-parity bilinear ``resize``; the ``se=True`` path adds the CoordAtt
+residual gate on the concatenated skip (reference ``unet_head.py:56-57``).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from stc_unet_tpu.ops import resize
+from ..bricks import BatchNorm, Conv2d, h_swish, pad_hw
+from ..builder import HEADS
+from .decode_head import BaseDecodeHead
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 → BN → ReLU) × 2 — reference ``unet_head.py:63``."""
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv2d(self.out_ch, 3, padding=1, name='conv0')(x)
+        x = BatchNorm(name='bn1')(x, train=train)
+        x = nn.relu(x)
+        x = Conv2d(self.out_ch, 3, padding=1, name='conv3')(x)
+        x = BatchNorm(name='bn4')(x, train=train)
+        x = nn.relu(x)
+        return x
+
+
+class CoordAtt(nn.Module):
+    """Coordinate attention gate — reference ``unet_head.py:116-146``.
+
+    H-strip and W-strip average pools → shared 1x1 conv bottleneck (BN +
+    h_swish) → per-axis 1x1 conv + sigmoid → outer-product gate a_w * a_h.
+    Returns the gate (caller adds it residually: ``x = ca(x) + x``).
+    """
+    oup: int
+    reduction: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        mip = max(8, c // self.reduction)
+        x_h = jnp.mean(x, axis=2, keepdims=True)            # (N, H, 1, C)
+        x_w = jnp.mean(x, axis=1, keepdims=True)            # (N, 1, W, C)
+        x_w_t = jnp.transpose(x_w, (0, 2, 1, 3))            # (N, W, 1, C)
+        y = jnp.concatenate([x_h, x_w_t], axis=1)           # (N, H+W, 1, C)
+        y = Conv2d(mip, 1, name='conv1')(y)
+        y = BatchNorm(name='bn1')(y, train=train)
+        y = h_swish(y)
+        y_h, y_w = y[:, :h], y[:, h:]
+        y_w = jnp.transpose(y_w, (0, 2, 1, 3))              # (N, 1, W, mip)
+        a_h = nn.sigmoid(Conv2d(self.oup, 1, name='conv_h')(y_h))
+        a_w = nn.sigmoid(Conv2d(self.oup, 1, name='conv_w')(y_w))
+        return a_w * a_h
+
+
+class Up(nn.Module):
+    """Upsample + pad-to-match + concat skip (+CoordAtt) + DoubleConv.
+
+    Reference ``unet_head.py:35-60``; bilinear 2x with align_corners=True.
+    """
+    out_ch: int
+    se: bool = False
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = False):
+        x1 = resize(x1, scale_factor=2, mode='bilinear', align_corners=True,
+                    warning=False)
+        diff_y = x2.shape[1] - x1.shape[1]
+        diff_x = x2.shape[2] - x1.shape[2]
+        if diff_y or diff_x:
+            x1 = pad_hw(x1, (diff_x // 2, diff_x - diff_x // 2,
+                             diff_y // 2, diff_y - diff_y // 2))
+        x = jnp.concatenate([x2, x1], axis=-1)
+        if self.se:
+            x = CoordAtt(x.shape[-1], name='ca')(x, train=train) + x
+        return DoubleConv(self.out_ch, name='conv')(x, train=train)
+
+
+@HEADS.register_module()
+class UnetHead(BaseDecodeHead):
+    """U-Net decoder over 5 encoder scales — reference ``unet_head.py:12``."""
+    decoder_channel: Sequence[int] = (1024, 512, 256, 128, 64)
+    se: bool = False
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        dc = list(self.decoder_channel)
+        out = Up(dc[0] // 4, se=self.se, name='up1')(inputs[4], inputs[3],
+                                                     train=train)
+        out = Up(dc[1] // 4, se=self.se, name='up2')(out, inputs[2],
+                                                     train=train)
+        out = Up(dc[2] // 4, se=self.se, name='up3')(out, inputs[1],
+                                                     train=train)
+        out = Up(dc[4], se=self.se, name='up4')(out, inputs[0], train=train)
+        return self.cls_seg(out, train=train)
