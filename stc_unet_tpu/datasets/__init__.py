@@ -1,0 +1,26 @@
+from .builder import (DATASETS, PIPELINES, DataLoader, EpochSampler,
+                      build_dataloader, build_dataset, collate,
+                      worker_init_fn)
+from .cityscapes import CityscapesDataset
+from .custom import CustomDataset
+from .dataset_wrappers import (ConcatDataset, MultiImageMixDataset,
+                               RepeatDataset)
+from .my_dataset import MyDataset
+from .zoo import (ADE20KDataset, COCOStuffDataset, ChaseDB1Dataset,
+                  DarkZurichDataset, DRIVEDataset, FaceOccludedDataset,
+                  HRFDataset, ISPRSDataset, LoveDADataset,
+                  NightDrivingDataset, PascalContextDataset,
+                  PascalContextDataset59, PascalVOCDataset, PotsdamDataset,
+                  STAREDataset, iSAIDDataset)
+from . import pipelines  # noqa: F401  (register transforms)
+
+__all__ = [
+    'DATASETS', 'PIPELINES', 'DataLoader', 'EpochSampler', 'build_dataloader',
+    'build_dataset', 'collate', 'worker_init_fn', 'CityscapesDataset',
+    'CustomDataset', 'ConcatDataset', 'MultiImageMixDataset', 'RepeatDataset',
+    'MyDataset', 'ADE20KDataset', 'COCOStuffDataset', 'ChaseDB1Dataset',
+    'DarkZurichDataset', 'DRIVEDataset', 'FaceOccludedDataset', 'HRFDataset',
+    'ISPRSDataset', 'LoveDADataset', 'NightDrivingDataset',
+    'PascalContextDataset', 'PascalContextDataset59', 'PascalVOCDataset',
+    'PotsdamDataset', 'STAREDataset', 'iSAIDDataset'
+]

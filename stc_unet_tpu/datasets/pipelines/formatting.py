@@ -1,0 +1,127 @@
+"""Formatting transforms (≙ reference ``datasets/pipelines/formatting.py``).
+
+TPU-native layout decision: the reference formats to CHW torch tensors inside
+DataContainers (``formatting.py:179,220``); this framework keeps **HWC numpy**
+(NHWC is the TPU-friendly layout — batching + ``jax.device_put`` happen in the
+dataloader, SURVEY.md §2.10). ``img_metas`` becomes a plain dict.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..builder import PIPELINES
+
+
+def to_numpy(data):
+    if isinstance(data, np.ndarray):
+        return data
+    return np.asarray(data)
+
+
+@PIPELINES.register_module()
+class ToTensor:
+    """Convert listed keys to arrays (reference ``formatting.py:38``)."""
+
+    def __init__(self, keys):
+        self.keys = keys
+
+    def __call__(self, results):
+        for key in self.keys:
+            results[key] = to_numpy(results[key])
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(keys={self.keys})'
+
+
+@PIPELINES.register_module()
+class ImageToTensor:
+    """Image to model-ready array (reference ``formatting.py:68`` makes CHW;
+    here: float32 HWC, grayscale expanded to 1 channel)."""
+
+    def __init__(self, keys):
+        self.keys = keys
+
+    def __call__(self, results):
+        for key in self.keys:
+            img = results[key]
+            if img.ndim < 3:
+                img = np.expand_dims(img, -1)
+            results[key] = np.ascontiguousarray(img.astype(np.float32))
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(keys={self.keys})'
+
+
+@PIPELINES.register_module()
+class Transpose:
+    """Transpose listed keys (reference ``formatting.py:106``)."""
+
+    def __init__(self, keys, order):
+        self.keys = keys
+        self.order = order
+
+    def __call__(self, results):
+        for key in self.keys:
+            results[key] = results[key].transpose(self.order)
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(keys={self.keys}, '
+                f'order={self.order})')
+
+
+@PIPELINES.register_module()
+class DefaultFormatBundle:
+    """Format img + gt to model-ready arrays (reference ``formatting.py:179``).
+
+    img → float32 HWC; gt_semantic_seg → int64 (H, W) (the reference keeps a
+    leading channel dim from its CHW convention; batching adds N here).
+    """
+
+    def __call__(self, results):
+        if 'img' in results:
+            img = results['img']
+            if img.ndim < 3:
+                img = np.expand_dims(img, -1)
+            results['img'] = np.ascontiguousarray(img.astype(np.float32))
+        if 'gt_semantic_seg' in results:
+            results['gt_semantic_seg'] = results['gt_semantic_seg'].astype(
+                np.int64)
+        return results
+
+    def __repr__(self):
+        return self.__class__.__name__
+
+
+@PIPELINES.register_module()
+class Collect:
+    """Collect data keys + meta (reference ``formatting.py:220``).
+
+    Produces ``{'img_metas': {meta_key: value}, key: array}`` — the plain-dict
+    equivalent of the reference's DataContainer(cpu_only=True) meta.
+    """
+
+    DEFAULT_META_KEYS = ('filename', 'ori_filename', 'ori_shape', 'img_shape',
+                         'pad_shape', 'scale_factor', 'flip',
+                         'flip_direction', 'img_norm_cfg')
+
+    def __init__(self, keys, meta_keys=DEFAULT_META_KEYS):
+        self.keys = keys
+        self.meta_keys = meta_keys
+
+    def __call__(self, results):
+        data = {}
+        img_meta = {}
+        for key in self.meta_keys:
+            if key in results:
+                img_meta[key] = results[key]
+        data['img_metas'] = img_meta
+        for key in self.keys:
+            data[key] = results[key]
+        return data
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(keys={self.keys}, '
+                f'meta_keys={self.meta_keys})')
