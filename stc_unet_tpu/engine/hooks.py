@@ -214,10 +214,6 @@ class TextLoggerHook(Hook):
         elif self.end_of_epoch(runner) and not self.ignore_last:
             self._log(runner, 'train')
 
-    def after_train_epoch(self, runner):
-        if runner.log_buffer.val_history:
-            self._log(runner, 'train')
-
     def after_val_epoch(self, runner):
         runner.log_buffer.average()
         out = dict(runner.log_buffer.output)
@@ -272,13 +268,15 @@ class CheckpointHook(Hook):
     ``checkpoint_config``, ``my_config/STC-UNet.py:94-97``)."""
 
     def __init__(self, interval=-1, by_epoch=True, save_optimizer=True,
-                 out_dir=None, max_keep_ckpts=-1, save_last=True, **kwargs):
+                 out_dir=None, max_keep_ckpts=-1, save_last=True, meta=None,
+                 **kwargs):
         self.interval = interval
         self.by_epoch = by_epoch
         self.save_optimizer = save_optimizer
         self.out_dir = out_dir
         self.max_keep_ckpts = max_keep_ckpts
         self.save_last = save_last
+        self.meta = meta
 
     def before_run(self, runner):
         if not self.out_dir:
@@ -286,7 +284,7 @@ class CheckpointHook(Hook):
 
     def _save(self, runner):
         runner.save_checkpoint(self.out_dir, save_optimizer=self.save_optimizer,
-                               by_epoch=self.by_epoch,
+                               by_epoch=self.by_epoch, meta=self.meta,
                                max_keep_ckpts=self.max_keep_ckpts)
 
     def after_train_epoch(self, runner):
