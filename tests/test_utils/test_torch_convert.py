@@ -1,0 +1,260 @@
+"""torch→jax converter golden test: a tiny torch STC-UNet fixture (same
+module/attribute layout as the reference fork) is converted and must produce
+identical logits. This is the checkpoint-parity proof for the flagship family
+(BASELINE.md: Dice parity requires bit-faithful weight transfer)."""
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from stc_unet_tpu.models import build_segmentor
+from stc_unet_tpu.utils.torch_convert import (convert_state_dict,
+                                              convert_torch_checkpoint,
+                                              translate_key)
+
+CH = [4, 8, 16, 32]        # tiny channel_list (doubling, like the real one)
+DEC = [64, 32, 16, 8, 4]   # tiny decoder_channel
+
+
+# -- torch fixture: attribute layout mirrors the reference fork -------------
+def _dc(i, o):
+    return nn.Sequential(nn.Conv2d(i, o, 3, padding=1), nn.BatchNorm2d(o),
+                         nn.ReLU(), nn.Conv2d(o, o, 3, padding=1),
+                         nn.BatchNorm2d(o), nn.ReLU())
+
+
+class _DoubleConv(nn.Module):
+    def __init__(self, i, o):
+        super().__init__()
+        self.conv = _dc(i, o)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class _InConv(nn.Module):
+    """Reference InConv wraps a DoubleConv (key path inc.conv.conv.N)."""
+
+    def __init__(self, i, o):
+        super().__init__()
+        self.conv = _DoubleConv(i, o)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class _Down(nn.Module):
+    def __init__(self, i, o):
+        super().__init__()
+        self.down_conv = nn.Sequential(nn.MaxPool2d(2), _DoubleConv(i, o))
+
+    def forward(self, x):
+        return self.down_conv(x)
+
+
+class _KSA(nn.Module):
+    def __init__(self, c, kernels=(3, 5, 7), reduction=16, L=32):
+        super().__init__()
+        d = max(L, c // reduction)
+        self.convs = nn.ModuleList([
+            nn.Sequential(nn.Conv2d(c, c, k, padding=k // 2),
+                          nn.BatchNorm2d(c), nn.ReLU()) for k in kernels])
+        self.fc = nn.Linear(c, d)
+        self.fcs = nn.ModuleList([nn.Linear(d, c) for _ in kernels])
+
+    def forward(self, x):
+        outs = [conv(x) for conv in self.convs]
+        feats = torch.stack(outs, 0)
+        s = sum(outs).mean(-1).mean(-1)
+        z = self.fc(s)
+        w = torch.stack([fc(z) for fc in self.fcs], 0)
+        w = torch.softmax(w, 0)[:, :, :, None, None]
+        return (w * feats).sum(0)
+
+
+class _TrLayer(nn.Module):
+    def __init__(self, c, heads):
+        super().__init__()
+        self.q = nn.Linear(c, c, bias=False)
+        self.k = nn.Linear(c, c, bias=False)
+        self.v = nn.Linear(c, c, bias=False)
+        self.ma = nn.MultiheadAttention(c, heads)
+        self.fc1 = nn.Linear(c, c, bias=False)
+        self.fc2 = nn.Linear(c, c, bias=False)
+
+    def forward(self, x):
+        x = self.ma(self.q(x), self.k(x), self.v(x))[0] + x
+        return self.fc2(self.fc1(x)) + x
+
+
+class _TrBlock(nn.Module):
+    def __init__(self, c, heads, layers):
+        super().__init__()
+        self.linear = nn.Linear(c, c)
+        self.tr = nn.Sequential(*(_TrLayer(c, heads) for _ in range(layers)))
+        self.c = c
+
+    def forward(self, x):
+        b, _, h, w = x.shape
+        p = x.flatten(2).permute(2, 0, 1)  # (HW, B, C) seq-first
+        out = self.tr(p + self.linear(p))
+        return out.permute(1, 2, 0).reshape(b, self.c, h, w)
+
+
+def _hswish(x):
+    return x * F.relu6(x + 3) / 6
+
+
+class _CoordAtt(nn.Module):
+    def __init__(self, inp, oup, reduction=4):
+        super().__init__()
+        mip = max(8, inp // reduction)
+        self.conv1 = nn.Conv2d(inp, mip, 1)
+        self.bn1 = nn.BatchNorm2d(mip)
+        self.conv_h = nn.Conv2d(mip, oup, 1)
+        self.conv_w = nn.Conv2d(mip, oup, 1)
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        x_h = x.mean(3, keepdim=True)
+        x_w = x.mean(2, keepdim=True).permute(0, 1, 3, 2)
+        y = _hswish(self.bn1(self.conv1(torch.cat([x_h, x_w], dim=2))))
+        y_h, y_w = torch.split(y, [h, w], dim=2)
+        y_w = y_w.permute(0, 1, 3, 2)
+        return self.conv_w(y_w).sigmoid() * self.conv_h(y_h).sigmoid()
+
+
+class _Up(nn.Module):
+    def __init__(self, i, o, se=False):
+        super().__init__()
+        self.se = se
+        if se:
+            self.ca = _CoordAtt(i, i)
+        self.conv = _DoubleConv(i, o)
+
+    def forward(self, x1, x2):
+        x1 = F.interpolate(x1, scale_factor=2, mode='bilinear',
+                           align_corners=True)
+        dy, dx = x2.shape[2] - x1.shape[2], x2.shape[3] - x1.shape[3]
+        x1 = F.pad(x1, (dx // 2, dx - dx // 2, dy // 2, dy - dy // 2))
+        x = torch.cat([x2, x1], dim=1)
+        if self.se:
+            x = self.ca(x) + x
+        return self.conv(x)
+
+
+class _TorchSTCUNet(nn.Module):
+    """backbone+decode_head attribute names match the reference fork."""
+
+    def __init__(self, stc=True):
+        super().__init__()
+        self.stc = stc
+        # backbone
+        self.inc = _InConv(3, CH[0])
+        self.down1 = _Down(CH[0], CH[1])
+        self.down2 = _Down(CH[1], CH[2])
+        self.down3 = _Down(CH[2], CH[3])
+        self.down4 = _Down(CH[3], CH[3])
+        if stc:
+            self.context_layer1_1 = _KSA(CH[0])
+            self.context_layer2_1 = _KSA(CH[1])
+            self.context_layer3_1 = _KSA(CH[2])
+            self.aspp4 = _TrBlock(CH[3], 2, 4)
+            self.aspp5 = _TrBlock(CH[3], 2, 4)
+        # head
+        se = stc
+        self.up1 = _Up(DEC[0], DEC[0] // 4, se=se)
+        self.up2 = _Up(DEC[1], DEC[1] // 4, se=se)
+        self.up3 = _Up(DEC[2], DEC[2] // 4, se=se)
+        self.up4 = _Up(DEC[3], DEC[4], se=se)
+        self.conv_seg = nn.Conv2d(DEC[4], 2, 1)
+
+    def forward(self, x):
+        x1 = self.inc(x)
+        x2 = self.down1(x1)
+        x3 = self.down2(x2)
+        x4 = self.down3(x3)
+        x5 = self.down4(x4)
+        if self.stc:
+            x1 = x1 + self.context_layer1_1(x1)
+            x2 = x2 + self.context_layer2_1(x2)
+            x3 = x3 + self.context_layer3_1(x3)
+            x4 = self.aspp4(x4) + x4
+            x5 = self.aspp5(x5) + x5
+        out = self.up1(x5, x4)
+        out = self.up2(out, x3)
+        out = self.up3(out, x2)
+        out = self.up4(out, x1)
+        return self.conv_seg(out)
+
+
+def _prefixed_state_dict(tm):
+    sd = {}
+    head_names = ('up1', 'up2', 'up3', 'up4', 'conv_seg')
+    for k, v in tm.state_dict().items():
+        prefix = 'decode_head' if k.startswith(head_names) else 'backbone'
+        sd[f'{prefix}.{k}'] = v
+    return sd
+
+
+def _jax_model(stc):
+    return build_segmentor(dict(
+        type='EncoderDecoder',
+        backbone=dict(type='UnetBackbone', in_channels=3, channel_list=CH,
+                      context_layer='kernelselect' if stc else None,
+                      transformer_block=stc),
+        decode_head=dict(type='UnetHead', se=stc, num_classes=2,
+                         channels=DEC[4], decoder_channel=DEC,
+                         dropout_ratio=0.1,
+                         loss_decode=dict(type='CrossEntropyLoss')),
+        test_cfg=dict(mode='whole')))
+
+
+@pytest.mark.parametrize('stc', [False, True])
+def test_full_model_parity(stc):
+    torch.manual_seed(0)
+    tm = _TorchSTCUNet(stc=stc).eval()
+    # randomize BN stats so the eval path is non-trivial
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+    x = torch.randn(2, 3, 16, 16)
+    with torch.no_grad():
+        expected = tm(x).numpy()
+
+    model = _jax_model(stc)
+    model.init_weights(seed=0)
+    variables, _ = convert_torch_checkpoint(
+        dict(state_dict=_prefixed_state_dict(tm)), model=model)
+    model.variables = variables
+
+    import jax.numpy as jnp
+    from stc_unet_tpu.models.segmentors.encoder_decoder import \
+        EncoderDecoderNet
+    img = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    outs = model.net.apply(variables, img, train=False,
+                           method=EncoderDecoderNet.forward_heads)
+    got = np.asarray(outs['decode']).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_translate_key_samples():
+    assert translate_key('backbone.inc.conv.conv.0.weight') == (
+        ('backbone', 'inc', 'conv0', 'conv', 'kernel'), 'conv_w')
+    assert translate_key('backbone.down2.down_conv.1.conv.4.running_mean') \
+        == (('backbone', 'down2', 'conv', 'bn4', 'mean'), 'bn_stat')
+    assert translate_key(
+        'backbone.context_layer1_1.fcs.2.bias') == (
+        ('backbone', 'context_layer1_1', 'fcs2', 'linear', 'bias'),
+        'verbatim')
+    assert translate_key('backbone.aspp4.tr.1.ma.in_proj_weight') == (
+        ('backbone', 'aspp4', 'tr1', 'ma', 'in_proj_weight'), 'verbatim')
+    assert translate_key('decode_head.up1.ca.conv_h.weight') == (
+        ('decode_head', 'up1', 'ca', 'conv_h', 'conv', 'kernel'), 'conv_w')
+    assert translate_key('decode_head.conv_seg.bias') == (
+        ('decode_head', 'conv_seg', 'conv', 'bias'), 'verbatim')
+    assert translate_key('backbone.inc.conv.conv.1.num_batches_tracked') \
+        is None
