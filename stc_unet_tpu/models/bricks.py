@@ -93,12 +93,19 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
     momentum: float = 0.1  # torch convention
     axis_name: Optional[str] = None
+    affine: bool = True  # torch BatchNorm2d(affine=False) → no scale/bias
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
-        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        if self.affine:
+            scale = self.param('scale', nn.initializers.ones, (c,),
+                               jnp.float32)
+            bias = self.param('bias', nn.initializers.zeros, (c,),
+                              jnp.float32)
+        else:
+            scale, bias = jnp.ones((c,), jnp.float32), jnp.zeros(
+                (c,), jnp.float32)
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable('batch_stats', 'var',

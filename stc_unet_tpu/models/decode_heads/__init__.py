@@ -1,9 +1,17 @@
 from .aspp_head import ASPPHead, ASPPModule
+from .dc_unet_head import DC_Unet
 from .decode_head import BaseDecodeHead
 from .fcn_head import FCNHead
+from .maxvit_decoder import MaxViTDecoder
 from .psp_head import PPM, PSPHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
+from .swinunet_head import SwinUNet
+from .transunet_head import TransUNet, TransUNetModule
 from .unet_head import CoordAtt, UnetHead
+from .unetpp_head import UnetPlusPlus
+from .vit import ViT
 
 __all__ = ['BaseDecodeHead', 'UnetHead', 'CoordAtt', 'FCNHead', 'PSPHead',
-           'PPM', 'ASPPHead', 'ASPPModule', 'DepthwiseSeparableASPPHead']
+           'PPM', 'ASPPHead', 'ASPPModule', 'DepthwiseSeparableASPPHead',
+           'DC_Unet', 'SwinUNet', 'TransUNet', 'TransUNetModule',
+           'UnetPlusPlus', 'ViT', 'MaxViTDecoder']
