@@ -4,6 +4,7 @@ from .builder import (BACKBONES, HEADS, LOSSES, NECKS, SEGMENTORS,
                       build_segmentor)
 from .decode_heads import *  # noqa: F401,F403
 from .losses import *  # noqa: F401,F403
+from .necks import *  # noqa: F401,F403
 from .segmentors import *  # noqa: F401,F403
 
 __all__ = [

@@ -1,17 +1,23 @@
 from .aspp_head import ASPPHead, ASPPModule
+from .cascade_decode_head import BaseCascadeDecodeHead
 from .dc_unet_head import DC_Unet
 from .decode_head import BaseDecodeHead
 from .fcn_head import FCNHead
+from .fpn_head import FPNHead
 from .maxvit_decoder import MaxViTDecoder
+from .ocr_head import OCRHead
 from .psp_head import PPM, PSPHead
+from .segformer_head import SegformerHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
 from .swinunet_head import SwinUNet
 from .transunet_head import TransUNet, TransUNetModule
 from .unet_head import CoordAtt, UnetHead
 from .unetpp_head import UnetPlusPlus
+from .uper_head import UPerHead
 from .vit import ViT
 
-__all__ = ['BaseDecodeHead', 'UnetHead', 'CoordAtt', 'FCNHead', 'PSPHead',
-           'PPM', 'ASPPHead', 'ASPPModule', 'DepthwiseSeparableASPPHead',
-           'DC_Unet', 'SwinUNet', 'TransUNet', 'TransUNetModule',
-           'UnetPlusPlus', 'ViT', 'MaxViTDecoder']
+__all__ = ['BaseDecodeHead', 'BaseCascadeDecodeHead', 'UnetHead', 'CoordAtt',
+           'FCNHead', 'PSPHead', 'PPM', 'ASPPHead', 'ASPPModule',
+           'DepthwiseSeparableASPPHead', 'DC_Unet', 'SwinUNet', 'TransUNet',
+           'TransUNetModule', 'UnetPlusPlus', 'ViT', 'MaxViTDecoder',
+           'OCRHead', 'UPerHead', 'FPNHead', 'SegformerHead']

@@ -107,12 +107,17 @@ class EncoderDecoder(BaseSegmentor):
         return int(self.backbone_cfg.get('in_channels', 3))
 
     def init_weights(self, seed: int = 0, input_size: Tuple[int, int] = (64, 64)):
-        """Initialize variables lazily (param shapes are size-independent)."""
+        """Initialize variables lazily (param shapes are size-independent).
+
+        Traces ``forward_heads`` (not ``__call__``) so auxiliary-head
+        parameters are created too.
+        """
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, input_size[0], input_size[1], self.in_channels),
                           jnp.float32)
         self.variables = self.net.init(
-            {'params': rng, 'dropout': rng}, dummy, train=False)
+            {'params': rng, 'dropout': rng}, dummy, train=False,
+            method=type(self.net).forward_heads)
         return self.variables
 
     def _next_rng(self):

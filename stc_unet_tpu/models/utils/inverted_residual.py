@@ -1,0 +1,103 @@
+"""InvertedResidual blocks (≙ reference ``models/utils/inverted_residual.py:9,102``)."""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..bricks import ConvModule
+
+
+def make_divisible(value, divisor=8, min_value=None, min_ratio=0.9):
+    """mmcv make_divisible."""
+    if min_value is None:
+        min_value = divisor
+    new_value = max(min_value, int(value + divisor / 2) // divisor * divisor)
+    if new_value < min_ratio * value:
+        new_value += divisor
+    return new_value
+
+
+class InvertedResidual(nn.Module):
+    """MobileNetV2 inverted residual (expand 1x1 → dw 3x3 → project 1x1)."""
+    out_channels: int
+    stride: int = 1
+    expand_ratio: int = 6
+    dilation: int = 1
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        hidden = in_ch * self.expand_ratio
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU6')
+        use_res = self.stride == 1 and in_ch == self.out_channels
+        y = x
+        if self.expand_ratio != 1:
+            y = ConvModule(hidden, 1, norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name='expand_conv')(y, train=train)
+        y = ConvModule(hidden, 3, stride=self.stride,
+                       padding=self.dilation, dilation=self.dilation,
+                       groups=hidden, norm_cfg=norm_cfg, act_cfg=act_cfg,
+                       name='depthwise_conv')(y, train=train)
+        y = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
+                       act_cfg=None, name='linear_conv')(y, train=train)
+        return x + y if use_res else y
+
+
+class InvertedResidualV3(nn.Module):
+    """MobileNetV3 inverted residual with optional SE and h-swish."""
+    out_channels: int
+    mid_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    se_ratio: Optional[float] = None
+    with_expand_conv: bool = True
+    act_cfg: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        use_res = self.stride == 1 and in_ch == self.out_channels
+        y = x
+        if self.with_expand_conv:
+            y = ConvModule(self.mid_channels, 1, norm_cfg=norm_cfg,
+                           act_cfg=act_cfg, name='expand_conv')(y,
+                                                                train=train)
+        y = ConvModule(self.mid_channels, self.kernel_size,
+                       stride=self.stride,
+                       padding=self.kernel_size // 2,
+                       groups=self.mid_channels, norm_cfg=norm_cfg,
+                       act_cfg=act_cfg, name='depthwise_conv')(y,
+                                                               train=train)
+        if self.se_ratio:
+            s = jnp.mean(y, axis=(1, 2), keepdims=True)
+            rd = make_divisible(self.mid_channels * self.se_ratio)
+            from ..bricks import Conv2d, h_sigmoid
+            s = nn.relu(Conv2d(rd, 1, name='se_reduce')(s))
+            s = h_sigmoid(Conv2d(self.mid_channels, 1, name='se_expand')(s))
+            y = y * s
+        y = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
+                       act_cfg=None, name='linear_conv')(y, train=train)
+        return x + y if use_res else y
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excite (reference ``models/utils/se_layer.py:9``)."""
+    ratio: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        from ..bricks import Conv2d, h_sigmoid
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.relu(Conv2d(make_divisible(c // self.ratio, 8), 1,
+                           name='conv1')(s))
+        s = h_sigmoid(Conv2d(c, 1, name='conv2')(s))
+        return x * s

@@ -1,0 +1,89 @@
+"""Generic self-attention block (≙ reference
+``models/utils/self_attention_block.py:8``) — the query/key/value projection
+machinery shared by OCR/NL/DA/ANN-style heads. NHWC; the attention matmul
+maps to one batched MXU einsum over (B, HW_q, HW_k).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..bricks import ConvModule, max_pool2d
+
+
+class SelfAttentionBlock(nn.Module):
+    """key/query/value projected attention with optional downsampling.
+
+    ``key_feats`` may be a spatial map (B, H, W, C) or a token map
+    (B, K, C) — OCR's object-context path uses the latter.
+    """
+    key_in_channels: int
+    query_in_channels: int
+    channels: int
+    out_channels: int
+    share_key_query: bool = False
+    query_downsample: Optional[int] = None  # maxpool kernel or None
+    key_downsample: Optional[int] = None
+    key_query_num_convs: int = 1
+    value_out_num_convs: int = 1
+    key_query_norm: bool = False
+    value_out_norm: bool = False
+    matmul_norm: bool = False
+    with_out: bool = True
+    conv_cfg: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+
+    def _project(self, x, channels, num_convs, use_norm, name, train):
+        """1x1 conv stack (norm+act on all but kept simple per mmseg)."""
+        spatial = x.ndim == 4
+        if not spatial:  # (B, K, C) tokens → fake height axis for convs
+            x = x[:, :, None, :]
+        for i in range(num_convs):
+            x = ConvModule(
+                channels, 1,
+                norm_cfg=self.norm_cfg if use_norm else None,
+                act_cfg=self.act_cfg if use_norm else None,
+                name=f'{name}_{i}')(x, train=train)
+        if not spatial:
+            x = x[:, :, 0, :]
+        return x
+
+    @nn.compact
+    def __call__(self, query_feats, key_feats, train: bool = False):
+        b = query_feats.shape[0]
+        query = self._project(query_feats, self.channels,
+                              self.key_query_num_convs, self.key_query_norm,
+                              'query_project', train)
+        key_name = 'query_project' if self.share_key_query else 'key_project'
+        key = self._project(key_feats, self.channels,
+                            self.key_query_num_convs, self.key_query_norm,
+                            key_name, train)
+        value = self._project(
+            key_feats,
+            self.out_channels if self.with_out else self.channels,
+            self.value_out_num_convs, self.value_out_norm,
+            'value_project', train)
+        if self.query_downsample and query.ndim == 4:
+            query = max_pool2d(query, self.query_downsample)
+        if self.key_downsample and key.ndim == 4:
+            key = max_pool2d(key, self.key_downsample)
+            value = max_pool2d(value, self.key_downsample)
+
+        q_spatial = query.shape[1:-1]  # () for tokens, (H, W) for maps
+        q = query.reshape(b, -1, self.channels)
+        k = key.reshape(b, -1, self.channels)
+        v = value.reshape(b, -1, value.shape[-1])
+        sim = jnp.einsum('bqc,bkc->bqk', q, k)
+        if self.matmul_norm:
+            sim = (self.channels ** -0.5) * sim
+        sim = jax.nn.softmax(sim, axis=-1)
+        context = jnp.einsum('bqk,bkc->bqc', sim, v)
+        context = context.reshape((b,) + q_spatial + (context.shape[-1],))
+        if self.with_out:
+            context = self._project(context, self.out_channels, 1, True,
+                                    'out_project', train)
+        return context
