@@ -1,14 +1,22 @@
+from .ann_head import ANNHead
 from .aspp_head import ASPPHead, ASPPModule
 from .cascade_decode_head import BaseCascadeDecodeHead
+from .da_head import DAHead
 from .dc_unet_head import DC_Unet
 from .decode_head import BaseDecodeHead
+from .enc_head import EncHead
 from .fcn_head import FCNHead
 from .fpn_head import FPNHead
 from .maxvit_decoder import MaxViTDecoder
+from .misc_heads import (APCHead, DMHead, DNLHead, EMAHead, ISAHead,
+                         LRASPPHead, STDCHead)
+from .nl_head import GCHead, NLHead
 from .ocr_head import OCRHead
 from .psp_head import PPM, PSPHead
 from .segformer_head import SegformerHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
+from .setr_heads import (SegmenterMaskTransformerHead, SETRMLAHead,
+                         SETRUPHead)
 from .swinunet_head import SwinUNet
 from .transunet_head import TransUNet, TransUNetModule
 from .unet_head import CoordAtt, UnetHead
@@ -20,4 +28,7 @@ __all__ = ['BaseDecodeHead', 'BaseCascadeDecodeHead', 'UnetHead', 'CoordAtt',
            'FCNHead', 'PSPHead', 'PPM', 'ASPPHead', 'ASPPModule',
            'DepthwiseSeparableASPPHead', 'DC_Unet', 'SwinUNet', 'TransUNet',
            'TransUNetModule', 'UnetPlusPlus', 'ViT', 'MaxViTDecoder',
-           'OCRHead', 'UPerHead', 'FPNHead', 'SegformerHead']
+           'OCRHead', 'UPerHead', 'FPNHead', 'SegformerHead', 'ANNHead',
+           'DAHead', 'EncHead', 'APCHead', 'DMHead', 'DNLHead', 'EMAHead',
+           'ISAHead', 'LRASPPHead', 'STDCHead', 'GCHead', 'NLHead',
+           'SegmenterMaskTransformerHead', 'SETRMLAHead', 'SETRUPHead']

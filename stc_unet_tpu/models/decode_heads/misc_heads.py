@@ -1,0 +1,355 @@
+"""EMAHead / DMHead / APCHead / DNLHead / ISAHead / LRASPPHead / STDCHead
+(≙ reference ``decode_heads/{ema,dm,apc,dnl,isa,lraspp,stdc}_head.py``)."""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from stc_unet_tpu.ops import resize
+from ..bricks import (BatchNorm, Conv2d, ConvModule, adaptive_avg_pool2d,
+                      avg_pool2d)
+from ..builder import HEADS
+from .decode_head import BaseDecodeHead
+from .fcn_head import FCNHead
+from .nl_head import NonLocal2d
+
+
+@HEADS.register_module()
+class EMAHead(BaseDecodeHead):
+    """Expectation-maximization attention (reference ``ema_head.py``, 169).
+
+    The EM iteration over bases is a fixed-count fori-style python loop —
+    static under jit.
+    """
+    ema_channels: int = 512
+    num_bases: int = 64
+    num_stages: int = 3
+    concat_input: bool = True
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        x = self._transform_inputs(inputs)
+        feats = ConvModule(self.ema_channels, 3, padding=1,
+                           norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                           name='ema_in_conv')(x, train=train)
+        identity = feats
+        feats = ConvModule(self.ema_channels, 1, act_cfg=None,
+                           name='ema_mid_conv')(feats, train=train)
+        b, h, w, c = feats.shape
+        bases = self.param(
+            'bases', nn.initializers.normal(1.0),
+            (1, self.num_bases, c), jnp.float32)
+        bases = bases / jnp.linalg.norm(bases, axis=-1, keepdims=True)
+        bases = jnp.broadcast_to(bases, (b, self.num_bases, c))
+        flat = feats.reshape(b, h * w, c).astype(jnp.float32)
+        for _ in range(self.num_stages):
+            attn = jax.nn.softmax(
+                jnp.einsum('bpc,bkc->bpk', flat, bases), axis=-1)
+            attn_norm = attn / (1e-6 + attn.sum(axis=1, keepdims=True))
+            bases = jnp.einsum('bpk,bpc->bkc', attn_norm, flat)
+            bases = bases / jnp.linalg.norm(bases, axis=-1, keepdims=True)
+        recon = jnp.einsum('bpk,bkc->bpc', attn, bases).reshape(b, h, w, c)
+        recon = nn.relu(recon.astype(x.dtype))
+        recon = ConvModule(self.ema_channels, 1, act_cfg=None,
+                           norm_cfg=self.norm_cfg,
+                           name='ema_out_conv')(recon, train=train)
+        output = nn.relu(identity + recon)
+        output = ConvModule(self.channels, 3, padding=1,
+                            norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                            name='bottleneck')(output, train=train)
+        if self.concat_input:
+            output = ConvModule(self.channels, 3, padding=1,
+                                norm_cfg=self.norm_cfg,
+                                act_cfg=self.act_cfg, name='conv_cat')(
+                jnp.concatenate([x, output], axis=-1), train=train)
+        return self.cls_seg(output, train=train)
+
+
+class DCM(nn.Module):
+    """Dynamic convolutional module (reference ``dm_head.py``)."""
+    filter_size: int
+    fusion: bool
+    channels: int
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.filter_size
+        filters = adaptive_avg_pool2d(x, k)  # (B, k, k, C)
+        filters = Conv2d(self.channels, 1, name='filter_gen_conv')(filters)
+        inp = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg, name='input_redu_conv')(
+            x, train=train)
+        b, h, w, c = inp.shape
+        pad = (k - 1) // 2
+        pr = (pad, pad + 1) if (k - 1) % 2 != 0 else (pad, pad)
+        inp_p = jnp.pad(inp, ((0, 0), pr, pr, (0, 0)))
+        # per-sample depthwise dynamic conv via vmap
+        def one(xi, fi):
+            # xi (H+p, W+p, C), fi (k, k, C) → depthwise correlate
+            # HWIO for depthwise: (k, k, 1, C) with feature_group_count=C
+            return jax.lax.conv_general_dilated(
+                xi[None], fi[:, :, None, :],
+                window_strides=(1, 1), padding='VALID',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                feature_group_count=c)[0]
+        out = jax.vmap(one)(inp_p, filters)
+        out = BatchNorm(name='norm')(out, train=train)
+        out = nn.relu(out)
+        if self.fusion:
+            out = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                             act_cfg=self.act_cfg,
+                             name='fusion_conv')(out, train=train)
+        return out
+
+
+@HEADS.register_module()
+class DMHead(BaseDecodeHead):
+    """Dynamic multi-scale filters head (reference ``dm_head.py``, 141)."""
+    filter_sizes: Sequence[int] = (1, 3, 5, 7)
+    fusion: bool = False
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        x = self._transform_inputs(inputs)
+        outs = [x]
+        for i, fs in enumerate(self.filter_sizes):
+            outs.append(DCM(fs, self.fusion, self.channels,
+                            norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                            name=f'dcm_modules_{i}')(x, train=train))
+        output = ConvModule(self.channels, 3, padding=1,
+                            norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                            name='bottleneck')(
+            jnp.concatenate(outs, axis=-1), train=train)
+        return self.cls_seg(output, train=train)
+
+
+class ACM(nn.Module):
+    """Adaptive context module (reference ``apc_head.py``)."""
+    pool_scale: int
+    fusion: bool
+    channels: int
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = self.pool_scale
+        b, h, w, _ = x.shape
+        pooled = adaptive_avg_pool2d(x, s)
+        pooled = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                            act_cfg=self.act_cfg, name='pooled_redu_conv')(
+            pooled, train=train)
+        inp = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg, name='input_redu_conv')(
+            x, train=train)
+        global_info = Conv2d(self.channels, 1, name='global_info_conv')(
+            adaptive_avg_pool2d(inp, 1))
+        affinity_map = Conv2d(s * s, 1, name='gla')(
+            inp + resize(global_info, size=(h, w), mode='bilinear',
+                         align_corners=False, warning=False))
+        affinity_map = jax.nn.sigmoid(affinity_map)
+        affinity_map = affinity_map.reshape(b, h * w, s * s)
+        affinity_map = affinity_map / (
+            1e-6 + affinity_map.sum(axis=-1, keepdims=True))
+        z = jnp.einsum('bps,bsc->bpc', affinity_map,
+                       pooled.reshape(b, s * s, self.channels))
+        z = z.reshape(b, h, w, self.channels)
+        if self.fusion:
+            z = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                           act_cfg=self.act_cfg,
+                           name='fusion_conv')(z, train=train)
+        return z
+
+
+@HEADS.register_module()
+class APCHead(BaseDecodeHead):
+    """Adaptive pyramid context head (reference ``apc_head.py``, 159)."""
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    fusion: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        x = self._transform_inputs(inputs)
+        outs = [x]
+        for i, s in enumerate(self.pool_scales):
+            outs.append(ACM(s, self.fusion, self.channels,
+                            norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                            name=f'acm_modules_{i}')(x, train=train))
+        output = ConvModule(self.channels, 3, padding=1,
+                            norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                            name='bottleneck')(
+            jnp.concatenate(outs, axis=-1), train=train)
+        return self.cls_seg(output, train=train)
+
+
+class DisentangledNonLocal2d(NonLocal2d):
+    """DNL block: whitened pairwise + unary gate (reference ``dnl_head.py``)."""
+    temperature: float = 0.05
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        inter = max(c // self.reduction, 1)
+        g = Conv2d(inter, 1, name='g')(x).reshape(b, -1, inter)
+        theta = Conv2d(inter, 1, name='theta')(x).reshape(b, -1, inter)
+        phi = Conv2d(inter, 1, name='phi')(x).reshape(b, -1, inter)
+        # whiten
+        theta = theta - theta.mean(axis=1, keepdims=True)
+        phi = phi - phi.mean(axis=1, keepdims=True)
+        pairwise = jnp.einsum('bic,bjc->bij', theta, phi)
+        if self.use_scale:
+            pairwise = pairwise / jnp.sqrt(float(inter))
+        pairwise = pairwise / self.temperature
+        pairwise = jax.nn.softmax(pairwise, axis=-1)
+        y = jnp.einsum('bij,bjc->bic', pairwise, g)
+        # unary
+        unary = Conv2d(1, 1, name='conv_mask')(x).reshape(b, -1, 1)
+        unary = jax.nn.softmax(unary, axis=1)
+        y_unary = jnp.einsum('bjo,bjc->boc', unary, g)
+        y = (y + y_unary).reshape(b, h, w, inter)
+        y = ConvModule(c, 1, norm_cfg=self.norm_cfg, act_cfg=None,
+                       name='conv_out')(y, train=train)
+        return x + y
+
+
+@HEADS.register_module()
+class DNLHead(FCNHead):
+    """Disentangled non-local head (reference ``dnl_head.py``, 137)."""
+    reduction: int = 2
+    use_scale: bool = True
+    mode: str = 'embedded_gaussian'
+    temperature: float = 0.05
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        x = self._transform_inputs(inputs)
+        feats = ConvModule(self.channels, 3, padding=1,
+                           norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                           name='convs_0')(x, train=train)
+        feats = DisentangledNonLocal2d(
+            reduction=self.reduction, use_scale=self.use_scale,
+            mode=self.mode, temperature=self.temperature,
+            norm_cfg=self.norm_cfg, name='dnl_block')(feats, train=train)
+        feats = ConvModule(self.channels, 3, padding=1,
+                           norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                           name='convs_1')(feats, train=train)
+        if self.concat_input:
+            feats = ConvModule(self.channels, 3, padding=1,
+                               norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                               name='conv_cat')(
+                jnp.concatenate([x, feats], axis=-1), train=train)
+        return self.cls_seg(feats, train=train)
+
+
+@HEADS.register_module()
+class ISAHead(BaseDecodeHead):
+    """Interlaced sparse self-attention (reference ``isa_head.py``, 143)."""
+    isa_channels: int = 256
+    down_factor: Sequence[int] = (8, 8)
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        from ..utils.self_attention_block import SelfAttentionBlock as SAB
+        x = self._transform_inputs(inputs)
+        x_ = ConvModule(self.channels, 3, padding=1,
+                        norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                        name='in_conv')(x, train=train)
+        residual = x_
+        b, h, w, c = x_.shape
+        ph, pw = self.down_factor
+        qh, qw = -(-h // ph), -(-w // pw)  # ceil
+        pad_h, pad_w = qh * ph - h, qw * pw - w
+        if pad_h > 0 or pad_w > 0:
+            x_ = jnp.pad(x_, ((0, 0),
+                              (pad_h // 2, pad_h - pad_h // 2),
+                              (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+        # long-range: group distant pixels
+        g = x_.reshape(b, qh, ph, qw, pw, c)
+        g = g.transpose(0, 2, 4, 1, 3, 5).reshape(b * ph * pw, qh, qw, c)
+        g = SAB(key_in_channels=c, query_in_channels=c,
+                channels=self.isa_channels, out_channels=c,
+                share_key_query=False, key_query_num_convs=2,
+                value_out_num_convs=1, key_query_norm=True,
+                value_out_norm=True, matmul_norm=True, with_out=False,
+                norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                name='global_relation')(g, g, train=train)
+        # short-range: local groups
+        g = g.reshape(b, ph, pw, qh, qw, c)
+        g = g.transpose(0, 3, 4, 1, 2, 5).reshape(b * qh * qw, ph, pw, c)
+        g = SAB(key_in_channels=c, query_in_channels=c,
+                channels=self.isa_channels, out_channels=c,
+                share_key_query=False, key_query_num_convs=2,
+                value_out_num_convs=1, key_query_norm=True,
+                value_out_norm=True, matmul_norm=True, with_out=False,
+                norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                name='local_relation')(g, g, train=train)
+        g = g.reshape(b, qh, qw, ph, pw, c)
+        x_ = g.transpose(0, 1, 3, 2, 4, 5).reshape(b, qh * ph, qw * pw, c)
+        if pad_h > 0 or pad_w > 0:
+            x_ = x_[:, pad_h // 2:pad_h // 2 + h,
+                    pad_w // 2:pad_w // 2 + w, :]
+        out = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg, name='out_conv')(
+            jnp.concatenate([x_, residual], axis=-1), train=train)
+        return self.cls_seg(out, train=train)
+
+
+@HEADS.register_module()
+class LRASPPHead(BaseDecodeHead):
+    """Lite R-ASPP for MobileNetV3 (reference ``lraspp_head.py``)."""
+    branch_channels: Sequence[int] = (32, 64)
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        assert self.input_transform == 'multiple_select'
+        inputs = self._transform_inputs(inputs)
+        x = inputs[-1]
+        feats = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                           act_cfg=self.act_cfg, name='aspp_conv')(
+            x, train=train)
+        # image-pool gate (stride-pooled in the reference; global here
+        # keeps shapes static for any input size)
+        gate = avg_pool2d(x, min(49, x.shape[1]),
+                          stride=max(1, min(16, x.shape[1] // 2)),
+                          count_include_pad=False) \
+            if x.shape[1] >= 4 else jnp.mean(x, (1, 2), keepdims=True)
+        gate = Conv2d(self.channels, 1, name='image_pool_conv')(gate)
+        gate = jax.nn.sigmoid(gate)
+        gate = resize(gate, size=feats.shape[1:3], mode='bilinear',
+                      align_corners=self.align_corners, warning=False)
+        x = feats * gate
+        for i, (inp, ch) in enumerate(zip(inputs[:-1][::-1],
+                                          self.branch_channels[::-1])):
+            x = resize(x, size=inp.shape[1:3], mode='bilinear',
+                       align_corners=self.align_corners, warning=False)
+            branch = Conv2d(ch, 1, name=f'convs_{i}')(inp)
+            x = jnp.concatenate([x, branch], axis=-1)
+            x = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                           act_cfg=self.act_cfg,
+                           name=f'conv_ups_{i}')(x, train=train)
+        return self.cls_seg(x, train=train)
+
+
+@HEADS.register_module()
+class STDCHead(FCNHead):
+    """STDC detail-guidance head (reference ``stdc_head.py``): the target is
+    a laplacian-style boundary map derived from the gt."""
+    boundary_threshold: float = 0.1
+
+    def loss_by_feat(self, seg_logit, seg_label, seg_weight=None) -> dict:
+        import numpy as np
+        lap = jnp.asarray([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]],
+                          jnp.float32).reshape(3, 3, 1, 1)
+        gt = seg_label.astype(jnp.float32)[..., None]
+        boundary = jax.lax.conv_general_dilated(
+            gt, lap, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        boundary = jnp.clip(boundary, 0, 1)
+        boundary = (boundary > self.boundary_threshold).astype(jnp.int32)
+        return super().loss_by_feat(seg_logit, boundary[..., 0], seg_weight)

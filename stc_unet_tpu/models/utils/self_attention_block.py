@@ -37,17 +37,21 @@ class SelfAttentionBlock(nn.Module):
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
 
-    def _project(self, x, channels, num_convs, use_norm, name, train):
-        """1x1 conv stack (norm+act on all but kept simple per mmseg)."""
+    def _make_proj(self, channels, num_convs, use_norm, name):
+        """Construct the 1x1 conv stack once (shareable)."""
+        return [ConvModule(
+            channels, 1,
+            norm_cfg=self.norm_cfg if use_norm else None,
+            act_cfg=self.act_cfg if use_norm else None,
+            name=f'{name}_{i}') for i in range(num_convs)]
+
+    @staticmethod
+    def _apply_proj(mods, x, train):
         spatial = x.ndim == 4
         if not spatial:  # (B, K, C) tokens → fake height axis for convs
             x = x[:, :, None, :]
-        for i in range(num_convs):
-            x = ConvModule(
-                channels, 1,
-                norm_cfg=self.norm_cfg if use_norm else None,
-                act_cfg=self.act_cfg if use_norm else None,
-                name=f'{name}_{i}')(x, train=train)
+        for m in mods:
+            x = m(x, train=train)
         if not spatial:
             x = x[:, :, 0, :]
         return x
@@ -55,18 +59,18 @@ class SelfAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, query_feats, key_feats, train: bool = False):
         b = query_feats.shape[0]
-        query = self._project(query_feats, self.channels,
-                              self.key_query_num_convs, self.key_query_norm,
-                              'query_project', train)
-        key_name = 'query_project' if self.share_key_query else 'key_project'
-        key = self._project(key_feats, self.channels,
-                            self.key_query_num_convs, self.key_query_norm,
-                            key_name, train)
-        value = self._project(
-            key_feats,
+        query_mods = self._make_proj(self.channels,
+                                     self.key_query_num_convs,
+                                     self.key_query_norm, 'query_project')
+        key_mods = query_mods if self.share_key_query else self._make_proj(
+            self.channels, self.key_query_num_convs, self.key_query_norm,
+            'key_project')
+        value_mods = self._make_proj(
             self.out_channels if self.with_out else self.channels,
-            self.value_out_num_convs, self.value_out_norm,
-            'value_project', train)
+            self.value_out_num_convs, self.value_out_norm, 'value_project')
+        query = self._apply_proj(query_mods, query_feats, train)
+        key = self._apply_proj(key_mods, key_feats, train)
+        value = self._apply_proj(value_mods, key_feats, train)
         if self.query_downsample and query.ndim == 4:
             query = max_pool2d(query, self.query_downsample)
         if self.key_downsample and key.ndim == 4:
@@ -84,6 +88,7 @@ class SelfAttentionBlock(nn.Module):
         context = jnp.einsum('bqk,bkc->bqc', sim, v)
         context = context.reshape((b,) + q_spatial + (context.shape[-1],))
         if self.with_out:
-            context = self._project(context, self.out_channels, 1, True,
-                                    'out_project', train)
+            out_mods = self._make_proj(self.out_channels, 1, True,
+                                       'out_project')
+            context = self._apply_proj(out_mods, context, train)
         return context
