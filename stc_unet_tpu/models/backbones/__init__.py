@@ -1,7 +1,14 @@
+from .bisenet import BiSeNetV1, BiSeNetV2
+from .fast_scnn import FastSCNN
+from .hrnet import HRNet
+from .lightweight import CGNet, ERFNet, ICNet
 from .maxvit_encoder import MaxViT
 from .mit import MixVisionTransformer
 from .mobilenet_v2 import MobileNetV2
+from .mobilenet_v3 import MobileNetV3
 from .resnet import ResNet, ResNetV1c, ResNetV1d
+from .resnext import ResNeSt, ResNeXt
+from .stdc import STDCContextPathNet, STDCNet
 from .swin import SwinTransformer
 from .unet import UNet
 from .unet_backbone import (KernelSelectAttention, TransformerBlock,
@@ -10,5 +17,7 @@ from .vit import VisionTransformer
 
 __all__ = ['UnetBackbone', 'KernelSelectAttention', 'TransformerBlock',
            'ResNet', 'ResNetV1c', 'ResNetV1d', 'MaxViT', 'UNet',
-           'MobileNetV2', 'SwinTransformer', 'MixVisionTransformer',
-           'VisionTransformer']
+           'MobileNetV2', 'MobileNetV3', 'SwinTransformer',
+           'MixVisionTransformer', 'VisionTransformer', 'HRNet', 'ResNeXt',
+           'ResNeSt', 'BiSeNetV1', 'BiSeNetV2', 'FastSCNN', 'CGNet',
+           'ERFNet', 'ICNet', 'STDCNet', 'STDCContextPathNet']

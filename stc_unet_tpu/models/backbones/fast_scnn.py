@@ -1,0 +1,83 @@
+"""FastSCNN backbone (≙ reference ``backbones/fast_scnn.py``, 409 LoC).
+
+Three paths: learning-to-downsample (conv + 2 dw-sep convs), global feature
+extractor (inverted residuals + PPM), and a feature-fusion module. Returns
+(higher_res, lower_res, fused) like the reference.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from stc_unet_tpu.ops import resize
+from ..bricks import ConvModule, DepthwiseSeparableConvModule
+from ..builder import BACKBONES
+from ..utils.inverted_residual import InvertedResidual
+from .psp_like import PPMJoin
+
+
+@BACKBONES.register_module()
+class FastSCNN(nn.Module):
+    in_channels: int = 3
+    downsample_dw_channels: Sequence[int] = (32, 48)
+    global_in_channels: int = 64
+    global_block_channels: Sequence[int] = (64, 96, 128)
+    global_block_strides: Sequence[int] = (2, 2, 1)
+    global_out_channels: int = 128
+    higher_in_channels: int = 64
+    lower_in_channels: int = 128
+    fusion_out_channels: int = 128
+    out_indices: Sequence[int] = (0, 1, 2)
+    conv_cfg: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    align_corners: bool = False
+    dw_act_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        # learning to downsample
+        x = ConvModule(self.downsample_dw_channels[0], 3, 2, padding=1,
+                       norm_cfg=norm_cfg, act_cfg=act_cfg,
+                       name='ld_conv')(x, train=train)
+        x = DepthwiseSeparableConvModule(
+            self.downsample_dw_channels[1], 3, stride=2, padding=1,
+            norm_cfg=norm_cfg, act_cfg=act_cfg,
+            name='ld_dsconv1')(x, train=train)
+        higher = DepthwiseSeparableConvModule(
+            self.global_in_channels, 3, stride=2, padding=1,
+            norm_cfg=norm_cfg, act_cfg=act_cfg,
+            name='ld_dsconv2')(x, train=train)
+        # global feature extractor
+        g = higher
+        for i, (ch, s) in enumerate(zip(self.global_block_channels,
+                                        self.global_block_strides)):
+            for j in range(3):
+                g = InvertedResidual(ch, stride=s if j == 0 else 1,
+                                     expand_ratio=6, norm_cfg=norm_cfg,
+                                     act_cfg=act_cfg,
+                                     name=f'gfe_{i}_{j}')(g, train=train)
+        lower = PPMJoin(self.global_out_channels, (1, 2, 3, 6),
+                        norm_cfg=norm_cfg, act_cfg=act_cfg,
+                        align_corners=self.align_corners,
+                        name='ppm')(g, train=train)
+        # feature fusion
+        low_up = resize(lower, size=higher.shape[1:3], mode='bilinear',
+                        align_corners=self.align_corners, warning=False)
+        low_up = DepthwiseSeparableConvModule(
+            self.fusion_out_channels, 3, padding=1, norm_cfg=norm_cfg,
+            act_cfg=None, name='ffm_dwconv')(low_up, train=train)
+        low_up = ConvModule(self.fusion_out_channels, 1,
+                            norm_cfg=norm_cfg, act_cfg=None,
+                            name='ffm_low_conv')(low_up, train=train)
+        high = ConvModule(self.fusion_out_channels, 1, norm_cfg=norm_cfg,
+                          act_cfg=None, name='ffm_high_conv')(higher,
+                                                              train=train)
+        fused = nn.relu(high + low_up)
+        outs = [higher, lower, fused]
+        return [outs[i] for i in self.out_indices]

@@ -1,0 +1,284 @@
+"""CGNet, ERFNet and ICNet backbones + ICNeck
+(≙ reference ``backbones/cgnet.py`` (372), ``erfnet.py`` (329),
+``icnet.py`` (166), ``necks/ic_neck.py`` (148))."""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from stc_unet_tpu.ops import resize
+from ..bricks import BatchNorm, Conv2d, ConvModule, avg_pool2d
+from ..builder import BACKBONES, NECKS
+
+
+class ContextGuidedBlock(nn.Module):
+    """CG block: loc + sur (dilated) dw convs, joint BN+PReLU, glo gate."""
+    out_channels: int
+    dilation: int = 2
+    reduction: int = 16
+    downsample: bool = False
+    norm_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        channels = self.out_channels if self.downsample \
+            else self.out_channels // 2
+        stride = 2 if self.downsample else 1
+        k = 3 if self.downsample else 1
+        g = ConvModule(channels, k, stride=stride,
+                       padding=(k - 1) // 2, norm_cfg=self.norm_cfg,
+                       act_cfg=dict(type='PReLU') if False else
+                       dict(type='LeakyReLU'),
+                       name='conv1x1')(x, train=train)
+        loc = Conv2d(channels, 3, padding=1, groups=channels,
+                     use_bias=False, name='f_loc')(g)
+        sur = Conv2d(channels, 3, padding=self.dilation,
+                     dilation=self.dilation, groups=channels,
+                     use_bias=False, name='f_sur')(g)
+        joi = jnp.concatenate([loc, sur], axis=-1)
+        joi = BatchNorm(name='bn')(joi, train=train)
+        joi = nn.leaky_relu(joi, 0.01)
+        if self.downsample:
+            joi = Conv2d(self.out_channels, 1, use_bias=False,
+                         name='bottleneck')(joi)
+        # global context gate
+        s = jnp.mean(joi, axis=(1, 2))
+        from ..bricks import Linear
+        s = nn.relu(Linear(joi.shape[-1] // self.reduction,
+                           name='fc1')(s))
+        s = nn.sigmoid(Linear(joi.shape[-1], name='fc2')(s))
+        out = joi * s[:, None, None, :]
+        if not self.downsample:
+            out = x + out
+        return out
+
+
+@BACKBONES.register_module()
+class CGNet(nn.Module):
+    """Context-guided network."""
+    in_channels: int = 3
+    num_channels: Sequence[int] = (32, 64, 128)
+    num_blocks: Sequence[int] = (3, 21)
+    dilations: Sequence[int] = (2, 4)
+    reductions: Sequence[int] = (8, 16)
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        inp = x
+        cur = x
+        for i in range(3):
+            cur = ConvModule(self.num_channels[0], 3,
+                             stride=2 if i == 0 else 1, padding=1,
+                             norm_cfg=norm_cfg,
+                             act_cfg=dict(type='LeakyReLU'),
+                             name=f'stem_{i}')(cur, train=train)
+        down1 = avg_pool2d(inp, 2, 2) if True else None
+        cur = jnp.concatenate(
+            [cur, resize(inp, size=cur.shape[1:3], mode='bilinear',
+                         align_corners=False, warning=False)], axis=-1)
+        cur = BatchNorm(name='norm_stem')(cur, train=train)
+        cur = nn.leaky_relu(cur, 0.01)
+        outs = [cur]
+        for si in range(2):
+            for j in range(self.num_blocks[si]):
+                cur = ContextGuidedBlock(
+                    self.num_channels[si + 1],
+                    dilation=self.dilations[si],
+                    reduction=self.reductions[si],
+                    downsample=(j == 0), norm_cfg=norm_cfg,
+                    name=f'level{si + 1}_{j}')(cur, train=train)
+                if j == 0:
+                    first = cur
+            cur = jnp.concatenate([cur, first], axis=-1)
+            cur = BatchNorm(name=f'norm_level{si + 1}')(cur, train=train)
+            cur = nn.leaky_relu(cur, 0.01)
+            outs.append(cur)
+        return outs
+
+
+class NonBottleneck1d(nn.Module):
+    """ERFNet factorized residual block (3x1 + 1x3 pairs)."""
+    channels: int
+    dilation: int = 1
+    drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dilation
+        y = Conv2d(self.channels, (3, 1), padding=(1, 0), name='conv1a')(x)
+        y = nn.relu(y)
+        y = Conv2d(self.channels, (1, 3), padding=(0, 1), name='conv1b')(y)
+        y = nn.relu(BatchNorm(name='bn1')(y, train=train))
+        y = Conv2d(self.channels, (3, 1), padding=(d, 0),
+                   dilation=(d, 1), name='conv2a')(y)
+        y = nn.relu(y)
+        y = Conv2d(self.channels, (1, 3), padding=(0, d),
+                   dilation=(1, d), name='conv2b')(y)
+        y = BatchNorm(name='bn2')(y, train=train)
+        y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
+        return nn.relu(x + y)
+
+
+class ERFDownsampler(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..bricks import max_pool2d
+        conv = Conv2d(self.out_channels - x.shape[-1], 3, 2, padding=1,
+                      name='conv')(x)
+        pool = max_pool2d(x, 2, 2)
+        y = jnp.concatenate([conv, pool], axis=-1)
+        return nn.relu(BatchNorm(name='bn')(y, train=train))
+
+
+@BACKBONES.register_module()
+class ERFNet(nn.Module):
+    """Efficient residual factorized network (encoder-decoder)."""
+    in_channels: int = 3
+    enc_downsample_channels: Sequence[int] = (16, 64, 128)
+    enc_stage_non_bottlenecks: Sequence[int] = (5, 8)
+    enc_non_bottleneck_dilations: Sequence[int] = (2, 4, 8, 16)
+    enc_non_bottleneck_channels: Sequence[int] = (64, 128)
+    dec_upsample_channels: Sequence[int] = (64, 16)
+    dec_stages_non_bottleneck: Sequence[int] = (2, 2)
+    dec_non_bottleneck_channels: Sequence[int] = (64, 16)
+    dropout_ratio: float = 0.1
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # encoder
+        x = ERFDownsampler(self.enc_downsample_channels[0],
+                           name='down0')(x, train=train)
+        x = ERFDownsampler(self.enc_downsample_channels[1],
+                           name='down1')(x, train=train)
+        for i in range(self.enc_stage_non_bottlenecks[0]):
+            x = NonBottleneck1d(self.enc_non_bottleneck_channels[0],
+                                drop_rate=0.03,
+                                name=f'enc1_{i}')(x, train=train)
+        x = ERFDownsampler(self.enc_downsample_channels[2],
+                           name='down2')(x, train=train)
+        n2 = self.enc_stage_non_bottlenecks[1]
+        dils = self.enc_non_bottleneck_dilations
+        for i in range(n2):
+            x = NonBottleneck1d(self.enc_non_bottleneck_channels[1],
+                                dilation=dils[i % len(dils)],
+                                drop_rate=self.dropout_ratio,
+                                name=f'enc2_{i}')(x, train=train)
+        # decoder
+        for si in range(2):
+            ch = self.dec_upsample_channels[si]
+            x = nn.ConvTranspose(ch, (3, 3), strides=(2, 2),
+                                 padding='SAME', dtype=x.dtype,
+                                 name=f'up{si}')(x)
+            x = nn.relu(BatchNorm(name=f'up{si}_bn')(x, train=train))
+            for i in range(self.dec_stages_non_bottleneck[si]):
+                x = NonBottleneck1d(self.dec_non_bottleneck_channels[si],
+                                    name=f'dec{si}_{i}')(x, train=train)
+        return [x]
+
+
+@BACKBONES.register_module()
+class ICNet(nn.Module):
+    """Image-cascade network: 3 resolution branches over a shared backbone."""
+    backbone_cfg: dict = None
+    in_channels: int = 3
+    layer_channels: Sequence[int] = (512, 2048)
+    light_branch_middle_channels: int = 32
+    psp_out_channels: int = 512
+    out_channels: Sequence[int] = (64, 256, 256)
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    align_corners: bool = False
+    init_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..builder import BACKBONES as REG
+        from .psp_like import PPMJoin
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        # sub1: light conv branch at full res
+        s1 = x
+        for i, (ch, s) in enumerate([
+                (self.light_branch_middle_channels, 2),
+                (self.light_branch_middle_channels, 2),
+                (self.out_channels[0], 2)]):
+            s1 = ConvModule(ch, 3, s, padding=1, norm_cfg=norm_cfg,
+                            act_cfg=act_cfg,
+                            name=f'conv_sub1_{i}')(s1, train=train)
+        # sub2/sub4: shared backbone on 1/2 input
+        half = resize(x, scale_factor=0.5, mode='bilinear',
+                      align_corners=self.align_corners, warning=False)
+        backbone = REG.build(dict(self.backbone_cfg))
+        feats = backbone(half, train=train)
+        s2 = feats[1]
+        # the reference's sub4 path halves once more before layer3/4;
+        # approximate by halving the deepest feature (guard tiny maps)
+        s4 = feats[-1]
+        if s4.shape[1] > 1 and s4.shape[2] > 1:
+            s4 = resize(s4, scale_factor=0.5, mode='bilinear',
+                        align_corners=self.align_corners, warning=False)
+        s4 = PPMJoin(self.psp_out_channels, tuple(self.pool_scales),
+                     norm_cfg=norm_cfg, act_cfg=act_cfg,
+                     align_corners=self.align_corners,
+                     name='psp')(s4, train=train)
+        s2 = ConvModule(self.out_channels[1], 1, norm_cfg=norm_cfg,
+                        act_cfg=act_cfg, name='conv_sub2')(s2, train=train)
+        s4 = ConvModule(self.out_channels[2], 1, norm_cfg=norm_cfg,
+                        act_cfg=act_cfg, name='conv_sub4')(s4, train=train)
+        return [s1, s2, s4]
+
+
+class CascadeFeatureFusion(nn.Module):
+    """ICNeck CFF unit."""
+    out_channels: int
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    align_corners: bool = False
+
+    @nn.compact
+    def __call__(self, low, high, train: bool = False):
+        low = resize(low, size=high.shape[1:3], mode='bilinear',
+                     align_corners=self.align_corners, warning=False)
+        low_f = ConvModule(self.out_channels, 3, padding=2, dilation=2,
+                           norm_cfg=self.norm_cfg, act_cfg=None,
+                           name='conv_low')(low, train=train)
+        high_f = ConvModule(self.out_channels, 1, norm_cfg=self.norm_cfg,
+                            act_cfg=None, name='conv_high')(high,
+                                                            train=train)
+        return nn.relu(low_f + high_f), low
+
+
+@NECKS.register_module()
+class ICNeck(nn.Module):
+    """Fuse the three ICNet branches (reference ``ic_neck.py``)."""
+    in_channels: Sequence[int] = (64, 256, 256)
+    out_channels: int = 128
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    align_corners: bool = False
+    init_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        s1, s2, s4 = inputs
+        fused24, up4 = CascadeFeatureFusion(
+            self.out_channels, norm_cfg=self.norm_cfg,
+            act_cfg=self.act_cfg, align_corners=self.align_corners,
+            name='cff_24')(s4, s2, train=train)
+        fused12, up2 = CascadeFeatureFusion(
+            self.out_channels, norm_cfg=self.norm_cfg,
+            act_cfg=self.act_cfg, align_corners=self.align_corners,
+            name='cff_12')(fused24, s1, train=train)
+        return [up4, up2, fused12]

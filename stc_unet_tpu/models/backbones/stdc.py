@@ -1,0 +1,156 @@
+"""STDC backbone + context path (≙ reference ``backbones/stdc.py``, 422 LoC).
+
+Short-term dense concatenate blocks; ``STDCContextPathNet`` wraps the net
+with a BiSeNet-style context path + FFM as the reference does.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from stc_unet_tpu.ops import resize
+from ..bricks import ConvModule, avg_pool2d
+from ..builder import BACKBONES
+
+
+class STDCModule(nn.Module):
+    """Dense-concat module: 1x1 then chained 3x3 convs with halving widths."""
+    out_channels: int
+    stride: int = 1
+    num_convs: int = 4
+    fusion_type: str = 'add'
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        oc = self.out_channels
+        feats = []
+        h = ConvModule(oc // 2, 1, norm_cfg=self.norm_cfg,
+                       act_cfg=self.act_cfg, name='conv0')(x, train=train)
+        feats.append(h)
+        for i in range(1, self.num_convs):
+            last = i == self.num_convs - 1
+            ch = oc // (2 ** (i + 1)) if not last else oc // (2 ** i)
+            stride = self.stride if i == 1 else 1
+            if i == 1 and self.stride == 2:
+                # downsample path: dw conv stride 2
+                h = ConvModule(h.shape[-1], 3, stride=2, padding=1,
+                               groups=h.shape[-1], norm_cfg=self.norm_cfg,
+                               act_cfg=None, name='downsample')(h,
+                                                                train=train)
+                feats[0] = h
+                stride = 1
+            h = ConvModule(ch, 3, stride=stride, padding=1,
+                           norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                           name=f'conv{i}')(h, train=train)
+            feats.append(h)
+        if self.stride == 2:
+            # match spatial dims of the first feat
+            feats = [feats[0]] + [
+                f if f.shape[1] == feats[0].shape[1] else f
+                for f in feats[1:]]
+        return jnp.concatenate(feats, axis=-1)
+
+
+@BACKBONES.register_module()
+class STDCNet(nn.Module):
+    """STDC1/2 classification trunk for segmentation."""
+    stdc_type: str = 'STDCNet1'
+    in_channels: int = 3
+    channels: Sequence[int] = (32, 64, 256, 512, 1024)
+    bottleneck_type: str = 'cat'
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    num_convs: int = 4
+    with_final_conv: bool = False
+    pretrained: Optional[str] = None
+    init_cfg: Optional[dict] = None
+
+    arch = {'STDCNet1': [1, 1, 1], 'STDCNet2': [3, 4, 2]}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        ch = self.channels
+        x = ConvModule(ch[0], 3, 2, padding=1, norm_cfg=norm_cfg,
+                       act_cfg=act_cfg, name='stem0')(x, train=train)
+        x = ConvModule(ch[1], 3, 2, padding=1, norm_cfg=norm_cfg,
+                       act_cfg=act_cfg, name='stem1')(x, train=train)
+        outs = []
+        repeats = self.arch[self.stdc_type]
+        for i, rep in enumerate(repeats):
+            for j in range(rep + 1):
+                x = STDCModule(ch[i + 2], stride=2 if j == 0 else 1,
+                               num_convs=self.num_convs,
+                               norm_cfg=norm_cfg, act_cfg=act_cfg,
+                               name=f'stage{i}_{j}')(x, train=train)
+            outs.append(x)
+        return outs
+
+
+@BACKBONES.register_module()
+class STDCContextPathNet(nn.Module):
+    """STDC + global context path + feature fusion (the seg wrapper)."""
+    backbone_cfg: dict = None
+    last_in_channels: Sequence[int] = (1024, 512)
+    out_channels: int = 128
+    ffm_cfg: Optional[dict] = None
+    upsample_mode: str = 'nearest'
+    align_corners: Optional[bool] = None
+    norm_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..builder import BACKBONES as REG
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        backbone = REG.build(dict(self.backbone_cfg))
+        outs = backbone(x, train=train)
+        # global context on the deepest
+        deep = outs[-1]
+        gap = jnp.mean(deep, axis=(1, 2), keepdims=True)
+        gap = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
+                         act_cfg=dict(type='ReLU'),
+                         name='gap_conv')(gap, train=train)
+        arms = []
+        feat = gap
+        for i, inp in enumerate([outs[-1], outs[-2]]):
+            arm = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
+                             act_cfg=None, name=f'arm_{i}')(inp, train=train)
+            gate = jnp.mean(arm, axis=(1, 2), keepdims=True)
+            gate = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
+                              act_cfg=dict(type='Sigmoid'),
+                              name=f'arm_gate_{i}')(gate, train=train)
+            arm = arm * gate
+            feat = arm + resize(feat, size=arm.shape[1:3],
+                                mode=self.upsample_mode,
+                                align_corners=self.align_corners,
+                                warning=False)
+            feat = ConvModule(self.out_channels, 3, padding=1,
+                              norm_cfg=norm_cfg, act_cfg=dict(type='ReLU'),
+                              name=f'refine_{i}')(feat, train=train)
+            arms.append(feat)
+        # feature fusion with the 1/8 feature
+        ffm_in = jnp.concatenate(
+            [outs[0], resize(arms[-1], size=outs[0].shape[1:3],
+                             mode=self.upsample_mode,
+                             align_corners=self.align_corners,
+                             warning=False)], axis=-1)
+        ffm_cfg = self.ffm_cfg or dict(in_channels=512, out_channels=256,
+                                       scale_factor=4)
+        ffm = ConvModule(ffm_cfg['out_channels'], 1, norm_cfg=norm_cfg,
+                         act_cfg=dict(type='ReLU'),
+                         name='ffm_conv')(ffm_in, train=train)
+        att = jnp.mean(ffm, axis=(1, 2), keepdims=True)
+        att = ConvModule(ffm_cfg['out_channels'], 1,
+                         act_cfg=dict(type='ReLU'),
+                         name='ffm_att1')(att, train=train)
+        att = ConvModule(ffm_cfg['out_channels'], 1,
+                         act_cfg=dict(type='Sigmoid'),
+                         name='ffm_att2')(att, train=train)
+        ffm = ffm + ffm * att
+        return [ffm] + arms + [outs[0]]
