@@ -90,6 +90,8 @@ class VisionTransformer(nn.Module):
     patch_norm: bool = False
     patch_pad: str = 'corner'
     pre_norm: bool = False
+    norm_eval: bool = False
+    num_fcs: int = 2
     with_cp: bool = False
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None

@@ -1,6 +1,7 @@
 from .ann_head import ANNHead
 from .aspp_head import ASPPHead, ASPPModule
 from .cascade_decode_head import BaseCascadeDecodeHead
+from .cc_head import CCHead, DepthwiseSeparableFCNHead
 from .da_head import DAHead
 from .dc_unet_head import DC_Unet
 from .decode_head import BaseDecodeHead
@@ -31,4 +32,5 @@ __all__ = ['BaseDecodeHead', 'BaseCascadeDecodeHead', 'UnetHead', 'CoordAtt',
            'OCRHead', 'UPerHead', 'FPNHead', 'SegformerHead', 'ANNHead',
            'DAHead', 'EncHead', 'APCHead', 'DMHead', 'DNLHead', 'EMAHead',
            'ISAHead', 'LRASPPHead', 'STDCHead', 'GCHead', 'NLHead',
-           'SegmenterMaskTransformerHead', 'SETRMLAHead', 'SETRUPHead']
+           'SegmenterMaskTransformerHead', 'SETRMLAHead', 'SETRUPHead',
+           'CCHead', 'DepthwiseSeparableFCNHead']
