@@ -1,6 +1,7 @@
 from .checkpoint import (load_checkpoint, load_checkpoint_file, restore_into,
                          save_checkpoint)
 from .eval_hooks import DistEvalHook, EvalHook
+from .extra_hooks import JaxProfilerHook, MMSegWandbHook
 from .hooks import (HOOKS, CheckpointHook, DistSamplerSeedHook, Hook,
                     IterTimerHook, LogBuffer, TensorboardLoggerHook,
                     TextLoggerHook, get_priority)
@@ -16,5 +17,5 @@ __all__ = [
     'TensorboardLoggerHook', 'TextLoggerHook', 'get_priority', 'RUNNERS',
     'BaseRunner', 'EpochBasedRunner', 'IterBasedRunner', 'build_runner',
     'TrainState', 'default_data_mesh', 'make_train_step', 'make_val_step',
-    'total_loss_from_dict'
+    'total_loss_from_dict', 'JaxProfilerHook', 'MMSegWandbHook'
 ]
