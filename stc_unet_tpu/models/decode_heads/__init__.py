@@ -13,6 +13,8 @@ from .misc_heads import (APCHead, DMHead, DNLHead, EMAHead, ISAHead,
                          LRASPPHead, STDCHead)
 from .nl_head import GCHead, NLHead
 from .ocr_head import OCRHead
+from .point_head import PointHead
+from .psa_head import PSAHead
 from .psp_head import PPM, PSPHead
 from .segformer_head import SegformerHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
@@ -33,4 +35,4 @@ __all__ = ['BaseDecodeHead', 'BaseCascadeDecodeHead', 'UnetHead', 'CoordAtt',
            'DAHead', 'EncHead', 'APCHead', 'DMHead', 'DNLHead', 'EMAHead',
            'ISAHead', 'LRASPPHead', 'STDCHead', 'GCHead', 'NLHead',
            'SegmenterMaskTransformerHead', 'SETRMLAHead', 'SETRUPHead',
-           'CCHead', 'DepthwiseSeparableFCNHead']
+           'CCHead', 'DepthwiseSeparableFCNHead', 'PointHead', 'PSAHead']

