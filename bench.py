@@ -45,16 +45,23 @@ def main():
     img = jnp.asarray(img, jnp.bfloat16)
 
     offsets, crop = model._slide_offsets(512, 512)
-    fn = model._jit_slide(tuple(img.shape), offsets, crop)
+    slide_fn = model._jit_slide(tuple(img.shape), offsets, crop)
 
-    # warmup (compile + cache)
+    # timing must force a host readback: on the tunneled TPU platform
+    # block_until_ready has been observed to return early, so each timed
+    # segment ends with a scalar device→host transfer that cannot complete
+    # before the computation does.
+    @jax.jit
+    def fn(variables, img):
+        return jnp.sum(slide_fn(variables, img).astype(jnp.float32))
+
     for _ in range(WARMUP):
-        fn(variables, img).block_until_ready()
+        float(fn(variables, img))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(variables, img)
-    out.block_until_ready()
+    for _ in range(ITERS - 1):
+        out = fn(variables, img)  # queue asynchronously
+    float(fn(variables, img))     # readback bounds the whole queue
     dt = time.perf_counter() - t0
 
     slices_per_sec = BATCH * ITERS / dt

@@ -14,8 +14,12 @@ from .version import __version__, version_info
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: the big models here take minutes to
     compile; caching makes every process after the first start instantly.
-    Opt out with STC_UNET_TPU_NO_COMP_CACHE=1."""
-    if _os.environ.get('STC_UNET_TPU_NO_COMP_CACHE'):
+
+    Opt-IN via STC_UNET_TPU_COMP_CACHE=1: on the tunneled 'axon' TPU
+    platform, deserializing cached executables has been observed to hang,
+    so the cache stays off unless explicitly requested.
+    """
+    if not _os.environ.get('STC_UNET_TPU_COMP_CACHE'):
         return
     try:
         import jax

@@ -1,3 +1,4 @@
+from .beit import BEiT, MAE
 from .bisenet import BiSeNetV1, BiSeNetV2
 from .fast_scnn import FastSCNN
 from .hrnet import HRNet
@@ -10,6 +11,7 @@ from .resnet import ResNet, ResNetV1c, ResNetV1d
 from .resnext import ResNeSt, ResNeXt
 from .stdc import STDCContextPathNet, STDCNet
 from .swin import SwinTransformer
+from .twins import PCPVT, SVT
 from .unet import UNet
 from .unet_backbone import (KernelSelectAttention, TransformerBlock,
                             UnetBackbone)
@@ -20,4 +22,5 @@ __all__ = ['UnetBackbone', 'KernelSelectAttention', 'TransformerBlock',
            'MobileNetV2', 'MobileNetV3', 'SwinTransformer',
            'MixVisionTransformer', 'VisionTransformer', 'HRNet', 'ResNeXt',
            'ResNeSt', 'BiSeNetV1', 'BiSeNetV2', 'FastSCNN', 'CGNet',
-           'ERFNet', 'ICNet', 'STDCNet', 'STDCContextPathNet']
+           'ERFNet', 'ICNet', 'STDCNet', 'STDCContextPathNet',
+           'BEiT', 'MAE', 'PCPVT', 'SVT']

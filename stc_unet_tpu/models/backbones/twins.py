@@ -1,0 +1,176 @@
+"""Twins backbones: PCPVT and SVT (≙ reference ``backbones/twins.py``, 588).
+
+PCPVT: pyramid ViT with spatial-reduction attention + conditional position
+encoding (depthwise-conv PEG after the first block of each stage).
+SVT: alternates locally-grouped (windowed) attention with global
+sub-sampled attention.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bricks import Conv2d
+from ..builder import BACKBONES
+from ..utils.swin_core import DropPath
+from .mit import EfficientMHA, MiTBlock
+
+
+class PEG(nn.Module):
+    """Positional encoding generator: 3x3 depthwise conv residual."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, hw):
+        b, n, c = x.shape
+        h, w = hw
+        feat = x.reshape(b, h, w, c)
+        feat = Conv2d(self.dim, 3, padding=1, groups=self.dim,
+                      name='proj')(feat)
+        return x + feat.reshape(b, n, c)
+
+
+class LSA(nn.Module):
+    """Locally-grouped self-attention (SVT): windowed MHA."""
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, hw, train: bool = False):
+        b, n, c = x.shape
+        h, w = hw
+        ws = self.window_size
+        hd = c // self.num_heads
+        pad_h = (ws - h % ws) % ws
+        pad_w = (ws - w % ws) % ws
+        feat = x.reshape(b, h, w, c)
+        if pad_h or pad_w:
+            feat = jnp.pad(feat, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
+        feat = feat.reshape(b, hp // ws, ws, wp // ws, ws, c)
+        feat = feat.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=x.dtype,
+                       name='qkv')(feat)
+        qkv = qkv.reshape(-1, ws * ws, 3, self.num_heads, hd)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jax.nn.softmax(
+            jnp.einsum('bhnd,bhmd->bhnm', q, k) * hd ** -0.5, axis=-1)
+        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
+        out = nn.Dense(c, dtype=x.dtype, name='proj')(out)
+        out = out.reshape(b, hp // ws, wp // ws, ws, ws, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+        if pad_h or pad_w:
+            out = out[:, :h, :w]
+        return out.reshape(b, n, c)
+
+
+class SVTBlock(nn.Module):
+    """One SVT block: LSA or GSA (sub-sampled EfficientMHA) + MLP."""
+    dim: int
+    num_heads: int
+    window_size: int
+    sr_ratio: int
+    use_lsa: bool
+    mlp_ratio: float
+    drop_path: float
+
+    @nn.compact
+    def __call__(self, x, hw, train: bool = False):
+        a = nn.LayerNorm(name='norm1', dtype=x.dtype)(x)
+        if self.use_lsa:
+            a = LSA(self.dim, self.num_heads, self.window_size,
+                    name='attn')(a, hw, train=train)
+        else:
+            a = EfficientMHA(self.dim, self.num_heads, self.sr_ratio,
+                             name='attn')(a, hw, train=train)
+        x = x + DropPath(self.drop_path, name='dp1')(a, train=train)
+        m = nn.LayerNorm(name='norm2', dtype=x.dtype)(x)
+        m = nn.Dense(int(self.dim * self.mlp_ratio), dtype=x.dtype,
+                     name='fc1')(m)
+        m = nn.gelu(m, approximate=False)
+        m = nn.Dense(self.dim, dtype=x.dtype, name='fc2')(m)
+        return x + DropPath(self.drop_path, name='dp2')(m, train=train)
+
+
+class _TwinsBase(nn.Module):
+    in_channels: int = 3
+    embed_dims: Sequence[int] = (64, 128, 256, 512)
+    patch_sizes: Sequence[int] = (4, 2, 2, 2)
+    strides: Sequence[int] = (4, 2, 2, 2)
+    num_heads: Sequence[int] = (1, 2, 4, 8)
+    mlp_ratios: Sequence[int] = (4, 4, 4, 4)
+    depths: Sequence[int] = (3, 4, 6, 3)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    windiow_sizes: Sequence[int] = (7, 7, 7, 7)  # reference's spelling
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    norm_after_stage: bool = False
+    pretrained: Optional[str] = None
+    init_cfg: Optional[dict] = None
+
+    svt: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dpr = list(np.linspace(0, self.drop_path_rate, sum(self.depths)))
+        cur = 0
+        outs = []
+        for i in range(len(self.depths)):
+            dim = self.embed_dims[i]
+            k, s = self.patch_sizes[i], self.strides[i]
+            x = Conv2d(dim, k, s, padding=0 if k == s else k // 2,
+                       name=f'patch_embed{i}_proj')(x)
+            b, h, w, _ = x.shape
+            tokens = x.reshape(b, h * w, dim)
+            tokens = nn.LayerNorm(name=f'patch_embed{i}_norm',
+                                  dtype=x.dtype)(tokens)
+            for j in range(self.depths[i]):
+                if self.svt:
+                    tokens = SVTBlock(
+                        dim, self.num_heads[i], self.windiow_sizes[i],
+                        self.sr_ratios[i], use_lsa=(j % 2 == 0),
+                        mlp_ratio=self.mlp_ratios[i],
+                        drop_path=dpr[cur + j],
+                        name=f'block{i}_{j}')(tokens, (h, w), train=train)
+                else:
+                    tokens = MiTBlock(
+                        dim, self.num_heads[i], self.sr_ratios[i],
+                        float(self.mlp_ratios[i]), self.drop_rate,
+                        self.attn_drop_rate, dpr[cur + j], self.qkv_bias,
+                        name=f'block{i}_{j}')(tokens, (h, w), train=train)
+                if j == 0:
+                    tokens = PEG(dim, name=f'peg{i}')(tokens, (h, w))
+            cur += self.depths[i]
+            if self.norm_after_stage:
+                tokens = nn.LayerNorm(name=f'norm{i}',
+                                      dtype=x.dtype)(tokens)
+            x = tokens.reshape(b, h, w, dim)
+            if i in self.out_indices:
+                outs.append(x)
+        return outs
+
+
+@BACKBONES.register_module()
+class PCPVT(_TwinsBase):
+    """Twins-PCPVT (conditional position encoding PVT)."""
+    svt: bool = False
+
+
+@BACKBONES.register_module()
+class SVT(_TwinsBase):
+    """Twins-SVT (locally-grouped + global sub-sampled attention)."""
+    svt: bool = True
+    depths: Sequence[int] = (2, 2, 10, 4)
+    embed_dims: Sequence[int] = (64, 128, 256, 512)
+    num_heads: Sequence[int] = (2, 4, 8, 16)
