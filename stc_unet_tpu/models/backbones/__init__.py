@@ -1,5 +1,6 @@
 from .beit import BEiT, MAE
 from .bisenet import BiSeNetV1, BiSeNetV2
+from .convnext import ConvNeXt, TIMMBackbone
 from .fast_scnn import FastSCNN
 from .hrnet import HRNet
 from .lightweight import CGNet, ERFNet, ICNet
@@ -23,4 +24,4 @@ __all__ = ['UnetBackbone', 'KernelSelectAttention', 'TransformerBlock',
            'MixVisionTransformer', 'VisionTransformer', 'HRNet', 'ResNeXt',
            'ResNeSt', 'BiSeNetV1', 'BiSeNetV2', 'FastSCNN', 'CGNet',
            'ERFNet', 'ICNet', 'STDCNet', 'STDCContextPathNet',
-           'BEiT', 'MAE', 'PCPVT', 'SVT']
+           'BEiT', 'MAE', 'PCPVT', 'SVT', 'ConvNeXt', 'TIMMBackbone']

@@ -124,6 +124,7 @@ class BEiT(nn.Module):
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
     patch_norm: bool = False
+    norm_eval: bool = False
     frozen_stages: int = -1
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None

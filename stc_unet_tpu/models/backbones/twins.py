@@ -116,6 +116,8 @@ class _TwinsBase(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     norm_after_stage: bool = False
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
 

@@ -4,10 +4,12 @@ from .cascade_decode_head import BaseCascadeDecodeHead
 from .cc_head import CCHead, DepthwiseSeparableFCNHead
 from .da_head import DAHead
 from .dc_unet_head import DC_Unet
+from .dpt_head import DPTHead
 from .decode_head import BaseDecodeHead
 from .enc_head import EncHead
 from .fcn_head import FCNHead
 from .fpn_head import FPNHead
+from .knet_head import IterativeDecodeHead, KernelUpdateHead, KernelUpdator
 from .maxvit_decoder import MaxViTDecoder
 from .misc_heads import (APCHead, DMHead, DNLHead, EMAHead, ISAHead,
                          LRASPPHead, STDCHead)
@@ -35,4 +37,5 @@ __all__ = ['BaseDecodeHead', 'BaseCascadeDecodeHead', 'UnetHead', 'CoordAtt',
            'DAHead', 'EncHead', 'APCHead', 'DMHead', 'DNLHead', 'EMAHead',
            'ISAHead', 'LRASPPHead', 'STDCHead', 'GCHead', 'NLHead',
            'SegmenterMaskTransformerHead', 'SETRMLAHead', 'SETRUPHead',
-           'CCHead', 'DepthwiseSeparableFCNHead', 'PointHead', 'PSAHead']
+           'CCHead', 'DepthwiseSeparableFCNHead', 'PointHead', 'PSAHead', 'DPTHead', 'IterativeDecodeHead',
+           'KernelUpdateHead', 'KernelUpdator']

@@ -1,0 +1,108 @@
+"""DPTHead (≙ reference ``decode_heads/dpt_head.py``, 294 LoC): reassemble
+ViT tokens into a pyramid, fuse with residual conv units."""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from stc_unet_tpu.ops import resize
+from ..bricks import Conv2d, ConvModule
+from ..builder import HEADS
+from .decode_head import BaseDecodeHead
+
+
+class ReassembleBlocks(nn.Module):
+    """Project + rescale ViT feature maps to 4 pyramid levels."""
+    embed_dims: int = 768
+    post_process_channels: Sequence[int] = (96, 192, 384, 768)
+    readout_type: str = 'ignore'
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        outs = []
+        for i, x in enumerate(inputs):
+            x = Conv2d(self.post_process_channels[i], 1,
+                       name=f'projects_{i}')(x)
+            # resize: stages get strides 4, 8, 16, 32 from a /16 base
+            factor = [4, 2, 1, 0.5][i] if len(inputs) == 4 else 1
+            if factor > 1:
+                x = nn.ConvTranspose(
+                    self.post_process_channels[i],
+                    (int(factor), int(factor)),
+                    strides=(int(factor), int(factor)), padding='VALID',
+                    dtype=x.dtype, name=f'resize_layers_{i}')(x)
+            elif factor < 1:
+                x = Conv2d(self.post_process_channels[i], 3, 2, padding=1,
+                           name=f'resize_layers_{i}')(x)
+            outs.append(x)
+        return outs
+
+
+class PreActResidualConvUnit(nn.Module):
+    channels: int
+    norm_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.relu(x)
+        y = ConvModule(self.channels, 3, padding=1, norm_cfg=self.norm_cfg,
+                       act_cfg=None, order=('conv', 'norm', 'act'),
+                       name='conv1')(y, train=train)
+        y = nn.relu(y)
+        y = ConvModule(self.channels, 3, padding=1, norm_cfg=self.norm_cfg,
+                       act_cfg=None, name='conv2')(y, train=train)
+        return x + y
+
+
+class FeatureFusionBlock(nn.Module):
+    channels: int
+    norm_cfg: Optional[dict] = None
+    expand: bool = False
+    align_corners: bool = True
+
+    @nn.compact
+    def __call__(self, x, skip=None, train: bool = False):
+        if skip is not None:
+            x = x + PreActResidualConvUnit(
+                self.channels, self.norm_cfg, name='res_conv_unit1')(
+                skip, train=train)
+        x = PreActResidualConvUnit(self.channels, self.norm_cfg,
+                                   name='res_conv_unit2')(x, train=train)
+        x = resize(x, scale_factor=2, mode='bilinear',
+                   align_corners=self.align_corners, warning=False)
+        out_ch = self.channels // 2 if self.expand else self.channels
+        return ConvModule(out_ch, 1, act_cfg=None,
+                          name='project')(x, train=train)
+
+
+@HEADS.register_module()
+class DPTHead(BaseDecodeHead):
+    """Dense prediction transformer head."""
+    embed_dims: int = 768
+    post_process_channels: Sequence[int] = (96, 192, 384, 768)
+    readout_type: str = 'ignore'
+    patch_size: int = 16
+    expand_channels: bool = False
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        x = self._transform_inputs(inputs)
+        x = ReassembleBlocks(self.embed_dims,
+                             tuple(self.post_process_channels),
+                             self.readout_type,
+                             name='reassemble_blocks')(x, train=train)
+        x = [ConvModule(self.channels, 3, padding=1, act_cfg=None,
+                        name=f'convs_{i}')(f, train=train)
+             for i, f in enumerate(x)]
+        out = FeatureFusionBlock(self.channels, self.norm_cfg,
+                                 name='fusion_blocks_0')(x[-1], train=train)
+        for i in range(1, len(x)):
+            out = FeatureFusionBlock(
+                self.channels, self.norm_cfg,
+                name=f'fusion_blocks_{i}')(out, x[-(i + 1)], train=train)
+        out = ConvModule(self.channels, 3, padding=1,
+                         norm_cfg=self.norm_cfg,
+                         name='project')(out, train=train)
+        return self.cls_seg(out, train=train)
