@@ -88,11 +88,18 @@ def train_segmentor(model, dataset, cfg, distributed=False, validate=False,
     tx = build_optimizer_tx(cfg.optimizer, schedule=schedule,
                             params=model.variables['params'])
 
+    # mixed precision (≙ reference fp16/auto_fp16): bf16 activations on TPU
+    compute_dtype = None
+    if cfg.get('fp16') is not None or cfg.get('bf16') is not None:
+        import jax.numpy as jnp
+        compute_dtype = jnp.bfloat16
     runner = build_runner(
         runner_cfg,
         default_args=dict(model=model, tx=tx, lr_schedule=schedule,
                           work_dir=cfg.work_dir, logger=logger, meta=meta,
-                          mesh=mesh, seed=cfg.get('seed', 0) or 0))
+                          mesh=mesh, seed=cfg.get('seed', 0) or 0,
+                          compute_dtype=compute_dtype,
+                          remat=bool(cfg.get('remat', False))))
     if timestamp is not None:
         runner.timestamp = timestamp
 

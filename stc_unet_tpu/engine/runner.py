@@ -42,7 +42,7 @@ class BaseRunner:
 
     def __init__(self, model, tx, lr_schedule=None, work_dir=None,
                  logger=None, meta=None, max_epochs=None, max_iters=None,
-                 mesh=None, seed=0):
+                 mesh=None, seed=0, compute_dtype=None, remat=False):
         self.model = model
         self.tx = tx
         self.lr_schedule = lr_schedule
@@ -68,7 +68,9 @@ class BaseRunner:
         variables = model.variables if getattr(model, 'variables', None) \
             else model.init_weights()
         self.state = TrainState.create(variables, tx)
-        self._train_step = make_train_step(model, tx, mesh=mesh)
+        self._train_step = make_train_step(model, tx, mesh=mesh,
+                                           compute_dtype=compute_dtype,
+                                           remat=remat)
         self._val_step = make_val_step(model, mesh=mesh)
 
     # -- properties ----------------------------------------------------------

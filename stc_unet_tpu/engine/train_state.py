@@ -61,7 +61,9 @@ def total_loss_from_dict(losses: dict):
 def make_train_step(segmentor, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
                     data_axes: Any = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    compute_dtype: Any = None,
+                    remat: bool = False) -> Callable:
     """Build the compiled train step for a segmentor wrapper.
 
     Args:
@@ -72,6 +74,15 @@ def make_train_step(segmentor, tx: optax.GradientTransformation,
             the state replicated — XLA then emits the gradient psum over ICI.
         data_axes: PartitionSpec for the batch (default ``P('data')`` over
             the leading axis).
+        compute_dtype: cast the input batch (e.g. ``jnp.bfloat16``) — the
+            TPU-native ≙ of the reference's ``@auto_fp16`` (``base.py:96``);
+            activations follow the input dtype while params, BN statistics
+            and losses stay fp32 (≙ ``@force_fp32``, ``decode_head.py:261``).
+            bf16 needs no loss scaling.
+        remat: rematerialise the forward during backward
+            (``jax.checkpoint`` over the whole loss fn) — trades ~30% more
+            FLOPs for activation memory, the ≙ of the reference's
+            ``with_cp`` checkpointing.
 
     Returns:
         ``step(state, img, gt, rng) -> (state, log_vars)`` jit-compiled,
@@ -80,6 +91,8 @@ def make_train_step(segmentor, tx: optax.GradientTransformation,
 
     def step(state: TrainState, img, gt, rng):
         rng = jax.random.fold_in(rng, state.step)
+        if compute_dtype is not None:
+            img = img.astype(compute_dtype)
 
         def loss_fn(params):
             variables = {'params': params}
@@ -89,6 +102,9 @@ def make_train_step(segmentor, tx: optax.GradientTransformation,
                 variables, img, gt, rng, train=True)
             total, log_vars = total_loss_from_dict(losses)
             return total, (log_vars, new_model_state)
+
+        if remat:
+            loss_fn = jax.checkpoint(loss_fn)
 
         grads, (log_vars, new_model_state) = jax.grad(
             loss_fn, has_aux=True)(state.params)

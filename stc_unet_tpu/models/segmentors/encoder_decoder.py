@@ -85,6 +85,14 @@ class EncoderDecoder(BaseSegmentor):
             neck=self.neck, auxiliary_head=self.auxiliary_head,
             align_corners=self.align_corners)
         self._rng = jax.random.PRNGKey(0)
+        self.mesh = None  # set via set_mesh() to shard inference
+
+    def set_mesh(self, mesh):
+        """Shard inference over a device mesh: whole-mode batches and slide
+        tiles split along the mesh's 'data' axis (the spatial-tile axis is
+        this workload's sequence parallelism — SURVEY.md §5)."""
+        self.mesh = mesh
+        self._jit_cache.clear()
 
     def _init_decode_head(self, decode_head):
         self.decode_head = builder.build_head(decode_head)
@@ -221,6 +229,8 @@ class EncoderDecoder(BaseSegmentor):
             assert (count > 0).all()
             inv_count = jnp.asarray(1.0 / count)
 
+            mesh = self.mesh
+
             @jax.jit
             def fn(variables, img):
                 tiles = jnp.concatenate([
@@ -228,6 +238,10 @@ class EncoderDecoder(BaseSegmentor):
                         img, (0, y, x, 0),
                         (b, h_crop, w_crop, img.shape[3]))
                     for (y, x) in offsets], axis=0)  # (G*B, hc, wc, C)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    tiles = jax.lax.with_sharding_constraint(
+                        tiles, NamedSharding(mesh, PartitionSpec('data')))
                 logits = net.apply(variables, tiles, train=False)
                 logits = logits.reshape(len(offsets), b, h_crop, w_crop,
                                         out_ch)
