@@ -10,6 +10,7 @@ from .mobilenet_v2 import MobileNetV2
 from .mobilenet_v3 import MobileNetV3
 from .resnet import ResNet, ResNetV1c, ResNetV1d
 from .resnext import ResNeSt, ResNeXt
+from .self_define import ClsResNet18, Self_Define_Backbone
 from .stdc import STDCContextPathNet, STDCNet
 from .swin import SwinTransformer
 from .twins import PCPVT, SVT
@@ -24,4 +25,5 @@ __all__ = ['UnetBackbone', 'KernelSelectAttention', 'TransformerBlock',
            'MixVisionTransformer', 'VisionTransformer', 'HRNet', 'ResNeXt',
            'ResNeSt', 'BiSeNetV1', 'BiSeNetV2', 'FastSCNN', 'CGNet',
            'ERFNet', 'ICNet', 'STDCNet', 'STDCContextPathNet',
-           'BEiT', 'MAE', 'PCPVT', 'SVT', 'ConvNeXt', 'TIMMBackbone']
+           'BEiT', 'MAE', 'PCPVT', 'SVT', 'ConvNeXt', 'TIMMBackbone',
+           'Self_Define_Backbone', 'ClsResNet18']

@@ -86,9 +86,17 @@ class MultiheadAttention(nn.Module):
 
     Stored as packed in_proj (3C, C) + out_proj, so torch checkpoints map
     key-for-key. Input (N, L, C).
+
+    ``use_flash``: route the attention core through the pallas TPU
+    flash-attention kernel — never materializes the (L, L) score matrix
+    (536 MB per layer at 4096 tokens x batch 8 bf16), the dominant HBM
+    cost of the STC transformer at the x4 scale. Numerics match the
+    einsum path (same softmax scale); off by default so CPU tests and
+    the einsum path stay the reference semantics.
     """
     embed_dim: int
     num_heads: int
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, q, k, v):
@@ -106,9 +114,21 @@ class MultiheadAttention(nn.Module):
         q = q.reshape(n, lq, h, hd).transpose(0, 2, 1, 3)
         k = k.reshape(n, lk, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(n, lk, h, hd).transpose(0, 2, 1, 3)
-        att = jnp.einsum('nhqd,nhkd->nhqk', q, k) / jnp.sqrt(hd).astype(q.dtype)
-        att = nn.softmax(att, axis=-1)
-        out = jnp.einsum('nhqk,nhkd->nhqd', att, v)
+        if self.use_flash:
+            import math
+
+            from jax.experimental.pallas.ops.tpu.flash_attention import \
+                flash_attention
+            out = flash_attention(q.astype(jnp.float32),
+                                  k.astype(jnp.float32),
+                                  v.astype(jnp.float32),
+                                  sm_scale=1.0 / math.sqrt(hd))
+            out = out.astype(q.dtype)
+        else:
+            att = jnp.einsum('nhqd,nhkd->nhqk', q, k) / \
+                jnp.sqrt(hd).astype(q.dtype)
+            att = nn.softmax(att, axis=-1)
+            out = jnp.einsum('nhqk,nhkd->nhqd', att, v)
         out = out.transpose(0, 2, 1, 3).reshape(n, lq, c)
         return Linear(c, name='out_proj')(out)
 
@@ -121,13 +141,16 @@ class TransformerLayer(nn.Module):
     """
     c: int
     num_heads: int
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
         q = Linear(self.c, use_bias=False, name='q')(x)
         k = Linear(self.c, use_bias=False, name='k')(x)
         v = Linear(self.c, use_bias=False, name='v')(x)
-        x = MultiheadAttention(self.c, self.num_heads, name='ma')(q, k, v) + x
+        x = MultiheadAttention(self.c, self.num_heads,
+                               use_flash=self.use_flash,
+                               name='ma')(q, k, v) + x
         h = Linear(self.c, use_bias=False, name='fc1')(x)
         x = Linear(self.c, use_bias=False, name='fc2')(h) + x
         return x
@@ -143,6 +166,7 @@ class TransformerBlock(nn.Module):
     c2: int
     num_heads: int
     num_layers: int
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -151,7 +175,9 @@ class TransformerBlock(nn.Module):
         p = x.reshape(n, h * w, c)
         p = p + Linear(self.c2, name='linear')(p)
         for i in range(self.num_layers):
-            p = TransformerLayer(self.c2, self.num_heads, name=f'tr{i}')(p)
+            p = TransformerLayer(self.c2, self.num_heads,
+                                 use_flash=self.use_flash,
+                                 name=f'tr{i}')(p)
         return p.reshape(n, h, w, self.c2)
 
 
@@ -167,6 +193,7 @@ class UnetBackbone(nn.Module):
     context_layer: Optional[str] = None
     coord_att: bool = False
     transformer_block: bool = False
+    flash_attention: bool = False
     init_cfg: Optional[dict] = None
     pretrained: Optional[str] = None
 
@@ -186,6 +213,10 @@ class UnetBackbone(nn.Module):
             x3 = x3 + KernelSelectAttention(cl[2], name='context_layer3_1')(
                 x3, train=train)
         if self.transformer_block:
-            x4 = TransformerBlock(cl[3], 2, 4, name='aspp4')(x4, train=train) + x4
-            x5 = TransformerBlock(cl[3], 2, 4, name='aspp5')(x5, train=train) + x5
+            x4 = TransformerBlock(cl[3], 2, 4,
+                                  use_flash=self.flash_attention,
+                                  name='aspp4')(x4, train=train) + x4
+            x5 = TransformerBlock(cl[3], 2, 4,
+                                  use_flash=self.flash_attention,
+                                  name='aspp5')(x5, train=train) + x5
         return [x1, x2, x3, x4, x5]
