@@ -37,6 +37,10 @@ def single_gpu_test(model, data_loader, show=False, out_dir=None,
     loader_indices = _batch_indices(data_loader)
     for batch_indices, data in zip(loader_indices, data_loader):
         result = model(return_loss=False, rescale=True, **_as_test_kwargs(data))
+        # the loader pads the last batch to full size (static shapes);
+        # drop the padded duplicates so results align with the dataset
+        if len(result) > len(batch_indices):
+            result = result[:len(batch_indices)]
         if show or out_dir:
             _visualize(model, data, result, out_dir, opacity, dataset)
         if format_only:

@@ -343,7 +343,6 @@ class STDCHead(FCNHead):
     boundary_threshold: float = 0.1
 
     def loss_by_feat(self, seg_logit, seg_label, seg_weight=None) -> dict:
-        import numpy as np
         lap = jnp.asarray([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]],
                           jnp.float32).reshape(3, 3, 1, 1)
         gt = seg_label.astype(jnp.float32)[..., None]

@@ -25,8 +25,7 @@ from stc_unet_tpu.apis import (init_random_seed, set_random_seed,
                                train_segmentor)
 from stc_unet_tpu.datasets import build_dataset
 from stc_unet_tpu.models import build_segmentor
-from stc_unet_tpu.utils import (Config, collect_env, get_root_logger,
-                                find_latest_checkpoint)
+from stc_unet_tpu.utils import Config, collect_env, get_root_logger
 
 
 def parse_args():
