@@ -56,11 +56,21 @@ def multi_gpu_test(model, data_loader, tmpdir=None, gpu_collect=False,
                    efficient_test=False, pre_eval=False, format_only=False,
                    format_args={}):
     """Multi-host variant (reference ``test.py:140``): each jax process
-    evaluates its loader shard; callers concatenate (pre_eval areas are
-    summed inside ``pre_eval_to_metrics``, ≙ collect_results of 4-tuples)."""
-    return single_gpu_test(model, data_loader, efficient_test=efficient_test,
-                           pre_eval=pre_eval, format_only=format_only,
-                           format_args=format_args)
+    evaluates its loader shard, then the pre_eval area 4-tuples are
+    all-gathered across hosts (≙ collect_results_gpu — the payload is tiny:
+    4 x num_classes ints per image)."""
+    results = single_gpu_test(model, data_loader,
+                              efficient_test=efficient_test,
+                              pre_eval=pre_eval, format_only=format_only,
+                              format_args=format_args)
+    import jax
+    if pre_eval and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        local = np.stack([np.stack(r) for r in results])  # (n, 4, C)
+        gathered = multihost_utils.process_allgather(local)
+        gathered = gathered.reshape(-1, *local.shape[1:])
+        results = [tuple(row) for row in gathered]
+    return results
 
 
 def _batch_indices(data_loader):

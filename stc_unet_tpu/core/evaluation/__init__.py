@@ -1,4 +1,7 @@
 from .class_names import get_classes, get_palette
+from .surface_metrics import (average_surface_distance,
+                              hausdorff_distance, hd95, overlap_ratio,
+                              relative_volume_difference, surface_metrics)
 from .metrics import (eval_metrics, f_score, intersect_and_union, mean_dice,
                       mean_fscore, mean_iou, pre_eval_to_metrics,
                       total_area_to_metrics, total_intersect_and_union)
@@ -7,5 +10,7 @@ __all__ = [
     'get_classes', 'get_palette', 'eval_metrics', 'f_score',
     'intersect_and_union', 'mean_dice', 'mean_fscore', 'mean_iou',
     'pre_eval_to_metrics', 'total_area_to_metrics',
-    'total_intersect_and_union'
+    'total_intersect_and_union', 'average_surface_distance',
+    'hausdorff_distance', 'hd95', 'overlap_ratio',
+    'relative_volume_difference', 'surface_metrics'
 ]
