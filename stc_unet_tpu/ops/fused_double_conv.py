@@ -29,15 +29,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_hbm, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-            out_ref, *, th: int, w: int, cin: int, cmid: int, cout: int,
-            acc_dtype):
+            out_ref, *, th: int, w: int, wp: int, cin: int, cmid: int,
+            cout: int, acc_dtype):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
 
     def body(x_vmem, sem):
-        # fetch the row tile with 4-row/4-col halo (2 per conv)
+        # fetch the row tile with halo; the DMA row count (th+8) and the
+        # padded width (wp) are 8-aligned for Mosaic's sublane tiling
         dma = pltpu.make_async_copy(
-            x_hbm.at[b_idx, pl.ds(h_idx * th, th + 4)], x_vmem, sem)
+            x_hbm.at[b_idx, pl.ds(h_idx * th, th + 8)], x_vmem, sem)
         dma.start()
         dma.wait()
 
@@ -81,7 +82,7 @@ def _kernel(x_hbm, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((th + 4, w + 4, cin), x_hbm.dtype),
+        pltpu.VMEM((th + 8, wp, cin), x_hbm.dtype),
         pltpu.SemaphoreType.DMA(()),
     )
 
@@ -104,9 +105,15 @@ def fused_double_conv(x, w1, s1, b1, w2, s2, b2, tile_h: int = 32,
     cmid = w1.shape[-1]
     cout = w2.shape[-1]
     assert h % tile_h == 0, f'H={h} not divisible by tile_h={tile_h}'
-    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
-    kern = functools.partial(_kernel, th=tile_h, w=w, cin=cin, cmid=cmid,
-                             cout=cout, acc_dtype=jnp.float32)
+    assert tile_h % 8 == 0, 'tile_h must be 8-aligned (Mosaic tiling)'
+    # Mosaic DMA alignment: rows (sublane) to 8, channels (lane) to 128;
+    # zero-padded channels contribute nothing through zero-padded weights
+    wp = -(-(w + 4) // 8) * 8
+    cinp = -(-cin // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (2, 6), (2, wp - w - 2), (0, cinp - cin)))
+    w1p = jnp.pad(w1, ((0, 0), (0, 0), (0, cinp - cin), (0, 0)))
+    kern = functools.partial(_kernel, th=tile_h, w=w, wp=wp, cin=cinp,
+                             cmid=cmid, cout=cout, acc_dtype=jnp.float32)
     return pl.pallas_call(
         kern,
         grid=(b, h // tile_h),
@@ -124,4 +131,4 @@ def fused_double_conv(x, w1, s1, b1, w2, s2, b2, tile_h: int = 32,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         interpret=interpret,
-    )(xp, w1, s1, b1, w2, s2, b2)
+    )(xp, w1p, s1, b1, w2, s2, b2)
