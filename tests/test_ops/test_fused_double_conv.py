@@ -20,7 +20,7 @@ def _reference(x, w1, s1, b1, w2, s2, b2):
 
 def test_fused_double_conv_matches_xla():
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(2, 16, 12, 8).astype(np.float32))
+    x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
     w1 = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
     w2 = jnp.asarray(rng.randn(3, 3, 16, 16).astype(np.float32) * 0.1)
     s1 = jnp.asarray(rng.rand(16).astype(np.float32) + 0.5)
