@@ -13,8 +13,15 @@ eval-mode BN is exactly ``y = x * scale' + bias'``). The convolution is
 expressed as 9 shifted (M, Cin) @ (Cin, Cout) matmuls per conv — all MXU
 work, fp32 accumulation.
 
-Layout: NHWC; grid over (batch, H-tiles); the input row-tile (+2-row halo
-per conv) is DMA'd HBM→VMEM per grid step.
+Layout: NHWC; grid over (batch, row-tiles, col-tiles); the input tile
+(+2 halo per conv) is DMA'd HBM→VMEM per grid step.
+
+STATUS (round-1 measurement, v5e): correct on hardware, but the
+shifted-matmul formulation reaches only ~20 TFLOP/s at STC shapes
+(72x256²x64ch: 88.5 ms vs ~14 ms for XLA's conv pair) — the small
+per-shift matmuls (M≈1.3k, K=128 half-padded, N=64) and sublane-shift
+relayouts dominate. XLA's conv kernels remain the production path; this op
+stays as tested groundwork for a register-tiled reformulation.
 """
 from __future__ import annotations
 
