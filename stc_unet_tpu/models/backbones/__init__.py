@@ -8,6 +8,7 @@ from .maxvit_encoder import MaxViT
 from .mit import MixVisionTransformer
 from .mobilenet_v2 import MobileNetV2
 from .mobilenet_v3 import MobileNetV3
+from .poolformer import PoolFormer
 from .resnet import ResNet, ResNetV1c, ResNetV1d
 from .resnext import ResNeSt, ResNeXt
 from .self_define import ClsResNet18, Self_Define_Backbone
@@ -26,4 +27,4 @@ __all__ = ['UnetBackbone', 'KernelSelectAttention', 'TransformerBlock',
            'ResNeSt', 'BiSeNetV1', 'BiSeNetV2', 'FastSCNN', 'CGNet',
            'ERFNet', 'ICNet', 'STDCNet', 'STDCContextPathNet',
            'BEiT', 'MAE', 'PCPVT', 'SVT', 'ConvNeXt', 'TIMMBackbone',
-           'Self_Define_Backbone', 'ClsResNet18']
+           'Self_Define_Backbone', 'ClsResNet18', 'PoolFormer']
