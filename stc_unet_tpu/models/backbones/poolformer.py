@@ -68,6 +68,15 @@ class PoolFormer(nn.Module):
     out_indices: Sequence[int] = (0, 2, 4, 6)
     drop_path_rate: float = 0.0
     frozen_stages: int = -1
+    # mmcls patch-embed knobs (accepted for config parity)
+    in_patch_size: int = 7
+    in_stride: int = 4
+    in_pad: int = 2
+    down_patch_size: int = 3
+    down_stride: int = 2
+    down_pad: int = 1
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
     pretrained: Optional[str] = None
 
@@ -82,7 +91,9 @@ class PoolFormer(nn.Module):
         # out_indices over that flat list (0, 2, 4, 6 = after each stage)
         flat_idx = 0
         for i in range(4):
-            k, s, p = (7, 4, 2) if i == 0 else (3, 2, 1)
+            k, s, p = (self.in_patch_size, self.in_stride, self.in_pad) \
+                if i == 0 else (self.down_patch_size, self.down_stride,
+                                self.down_pad)
             x = Conv2d(dims[i], k, s, padding=p,
                        name=f'patch_embed{i}')(x)
             for j in range(layers[i]):
