@@ -66,6 +66,7 @@ class PoolFormer(nn.Module):
     pool_size: int = 3
     mlp_ratio: float = 4.0
     out_indices: Sequence[int] = (0, 2, 4, 6)
+    drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     frozen_stages: int = -1
     # mmcls patch-embed knobs (accepted for config parity)
