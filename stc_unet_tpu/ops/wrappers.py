@@ -111,6 +111,11 @@ def resize(input: jax.Array,
         size = (int(in_h * sh), int(in_w * sw))
     out_h, out_w = int(size[0]), int(size[1])
 
+    if (out_h, out_w) == (in_h, in_w):
+        # identity resize (torch returns the input unchanged too; saves a
+        # full gather pass in e.g. encode_decode's logit resize)
+        return input
+
     if warning and align_corners and out_h > in_h:
         # same sanity warning as the reference (ops/wrappers.py:12-24)
         if ((out_h > 1 and out_w > 1 and in_h > 1 and in_w > 1)
