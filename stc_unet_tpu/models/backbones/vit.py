@@ -100,6 +100,9 @@ class VisionTransformer(nn.Module):
     def __call__(self, x, train: bool = False):
         b = x.shape[0]
         ps = self.patch_size
+        img_size = self.img_size
+        if isinstance(img_size, (tuple, list)):
+            img_size = img_size[0]
         pad_h = (ps - x.shape[1] % ps) % ps
         pad_w = (ps - x.shape[2] % ps) % ps
         if pad_h or pad_w:
@@ -108,7 +111,7 @@ class VisionTransformer(nn.Module):
                     padding='VALID', dtype=x.dtype, name='patch_embed')(x)
         _, h, w, _ = x.shape
         tokens = x.reshape(b, h * w, self.embed_dims)
-        pos_len = (self.img_size // ps) ** 2 + 1
+        pos_len = (img_size // ps) ** 2 + 1
         pos_embed = self.param('pos_embed',
                                nn.initializers.truncated_normal(0.02),
                                (1, pos_len, self.embed_dims), jnp.float32)
@@ -116,7 +119,7 @@ class VisionTransformer(nn.Module):
                                nn.initializers.truncated_normal(0.02),
                                (1, 1, self.embed_dims), jnp.float32)
         # interpolate the grid part of pos_embed to (h, w)
-        side = self.img_size // ps
+        side = img_size // ps
         grid = pos_embed[:, 1:].reshape(1, side, side, self.embed_dims)
         if (h, w) != (side, side):
             from stc_unet_tpu.ops import resize

@@ -46,6 +46,8 @@ class _PyramidKeyAttention(SelfAttentionBlock):
 class ANNHead(BaseDecodeHead):
     """Asymmetric non-local head; expects two input levels."""
     project_channels: int = 256
+    in_index: object = (-2, -1)
+    input_transform: str = 'multiple_select'
     query_scales: Sequence[int] = (1,)
     key_pool_scales: Sequence[int] = (1, 3, 6, 8)
 

@@ -89,8 +89,14 @@ class BaseDecodeHead(nn.Module):
                    for x in xs]
             return jnp.concatenate(ups, axis=-1)
         if self.input_transform == 'multiple_select':
-            return [inputs[i] for i in self.in_index]
-        return inputs[self.in_index]
+            idx = self.in_index
+            if isinstance(idx, int):
+                idx = [idx]
+            return [inputs[i] for i in idx]
+        idx = self.in_index
+        if not isinstance(idx, int):
+            idx = idx[0] if len(idx) == 1 else -1
+        return inputs[idx]
 
     def cls_seg(self, feat, train: bool = False):
         """Dropout2d + 1x1 conv classifier (reference ``:254``).

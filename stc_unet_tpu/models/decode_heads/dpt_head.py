@@ -85,6 +85,8 @@ class DPTHead(BaseDecodeHead):
     readout_type: str = 'ignore'
     patch_size: int = 16
     expand_channels: bool = False
+    in_index: object = (0, 1, 2, 3)
+    input_transform: str = 'multiple_select'
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):

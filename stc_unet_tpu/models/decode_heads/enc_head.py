@@ -42,6 +42,8 @@ class EncModule(nn.Module):
 class EncHead(BaseDecodeHead):
     """Context encoding head."""
     num_codes: int = 32
+    in_index: object = (0, 1, 2, 3)
+    input_transform: str = 'multiple_select'
     use_se_loss: bool = True
     add_lateral: bool = False
     loss_se_decode: Optional[dict] = None

@@ -17,6 +17,8 @@ from .decode_head import BaseDecodeHead
 class FPNHead(BaseDecodeHead):
     """Panoptic-FPN style semantic head."""
     feature_strides: Sequence[int] = (4, 8, 16, 32)
+    in_index: object = (0, 1, 2, 3)
+    input_transform: str = 'multiple_select'
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):

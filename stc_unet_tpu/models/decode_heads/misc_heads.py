@@ -279,6 +279,7 @@ class ISAHead(BaseDecodeHead):
                 value_out_norm=True, matmul_norm=True, with_out=False,
                 norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
                 name='global_relation')(g, g, train=train)
+        # value projects straight to out_channels=c (mmseg semantics)
         # short-range: local groups
         g = g.reshape(b, ph, pw, qh, qw, c)
         g = g.transpose(0, 3, 4, 1, 2, 5).reshape(b * qh * qw, ph, pw, c)
@@ -304,6 +305,8 @@ class ISAHead(BaseDecodeHead):
 class LRASPPHead(BaseDecodeHead):
     """Lite R-ASPP for MobileNetV3 (reference ``lraspp_head.py``)."""
     branch_channels: Sequence[int] = (32, 64)
+    in_index: object = (0, 1, 2)
+    input_transform: str = 'multiple_select'
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):

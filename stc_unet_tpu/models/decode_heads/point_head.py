@@ -67,6 +67,8 @@ def calculate_uncertainty(seg_logits):
 class PointHead(BaseCascadeDecodeHead):
     """MLP over (fine feature, coarse logits) at sampled points."""
     num_fcs: int = 3
+    input_transform: str = 'multiple_select'
+    in_index: object = (0,)
     coarse_pred_each_layer: bool = True
     num_points: int = 2048
     oversample_ratio: int = 3
@@ -80,17 +82,23 @@ class PointHead(BaseCascadeDecodeHead):
                            norm_cfg=None, act_cfg=self.act_cfg,
                            name=f'fcs_{i}') for i in range(self.num_fcs)]
 
-    def _mlp(self, fine, coarse, train):
-        """Point MLP: concat(fine, coarse) → fcs (+coarse re-concat)."""
+    def _make_mlp(self):
+        """Construct the point-MLP modules ONCE (reused across the
+        refinement steps — flax submodule names must be unique)."""
+        fcs = [nn.Dense(self.channels, name=f'fcs_{i}')
+               for i in range(self.num_fcs)]
+        fc_seg = nn.Dense(self.num_classes, name='fc_seg')
+        return fcs, fc_seg
+
+    @staticmethod
+    def _apply_mlp(mods, fine, coarse, coarse_each_layer):
+        fcs, fc_seg = mods
         x = jnp.concatenate([fine, coarse], axis=-1)
-        for i in range(self.num_fcs):
-            # 1x1 conv over points == Dense per point
-            x = nn.Dense(self.channels, dtype=x.dtype, name=f'fcs_{i}')(x)
-            x = nn.relu(x)
-            if self.coarse_pred_each_layer:
+        for fc in fcs:
+            x = nn.relu(fc(x))
+            if coarse_each_layer:
                 x = jnp.concatenate([x, coarse], axis=-1)
-        return nn.Dense(self.num_classes, dtype=x.dtype,
-                        name='fc_seg')(x)
+        return fc_seg(x)
 
     def get_points_train(self, seg_logits, rng):
         """Oversample → top-k uncertain → random fill (static shapes)."""
@@ -107,20 +115,59 @@ class PointHead(BaseCascadeDecodeHead):
         rand_fill = jax.random.uniform(k2, (b, n_rand, 2))
         return jnp.concatenate([chosen, rand_fill], axis=1)
 
+    def _sample_fine(self, x, points):
+        if isinstance(x, (list, tuple)):
+            return jnp.concatenate(
+                [point_sample(xi, points,
+                              align_corners=self.align_corners)
+                 for xi in x], axis=-1)
+        return point_sample(x, points, align_corners=self.align_corners)
+
     @nn.compact
     def __call__(self, inputs, prev_output, train: bool = False,
                  points=None):
-        """Train: predict at sampled points; returns (point_logits, points).
-        Test-time refinement is orchestrated by ``refine``. """
+        """Train: point logits at sampled points → (logits, points).
+        Eval: iterative subdivision refinement of ``prev_output``
+        (reference PointRend test flow), returning a dense seg map.
+        """
         x = self._transform_inputs(inputs)
+        mlp_mods = self._make_mlp()
+        if not train and points is None:
+            refined = prev_output
+            for _ in range(self.subdivision_steps):
+                refined = resize(refined,
+                                 scale_factor=self.scale_factor,
+                                 mode='bilinear',
+                                 align_corners=self.align_corners,
+                                 warning=False)
+                b, hh, ww, cc = refined.shape
+                unc = calculate_uncertainty(
+                    refined.reshape(b, hh * ww, cc))[..., 0]
+                n = min(self.subdivision_num_points, hh * ww)
+                idx = jax.lax.top_k(unc, n)[1]  # most uncertain
+                ys = (idx // ww).astype(jnp.float32)
+                xs = (idx % ww).astype(jnp.float32)
+                pts = jnp.stack([(xs + 0.5) / ww, (ys + 0.5) / hh],
+                                axis=-1)
+                fine = self._sample_fine(x, pts)
+                coarse = point_sample(refined, pts,
+                                      align_corners=self.align_corners)
+                logits = self._apply_mlp(mlp_mods, fine, coarse,
+                                         self.coarse_pred_each_layer)
+                refined = jax.vmap(
+                    lambda f, i, l: f.at[i].set(l))(
+                    refined.reshape(b, hh * ww, cc), idx, logits)
+                refined = refined.reshape(b, hh, ww, cc)
+            return refined
         if points is None:
             rng = self.make_rng('dropout') if train else \
                 jax.random.PRNGKey(0)
             points = self.get_points_train(prev_output, rng)
-        fine = point_sample(x, points, align_corners=self.align_corners)
+        fine = self._sample_fine(x, points)
         coarse = point_sample(prev_output, points,
                               align_corners=self.align_corners)
-        logits = self._mlp(fine, coarse, train)
+        logits = self._apply_mlp(mlp_mods, fine, coarse,
+                                 self.coarse_pred_each_layer)
         return logits, points
 
     def loss_by_feat(self, seg_logit, seg_label, seg_weight=None) -> dict:

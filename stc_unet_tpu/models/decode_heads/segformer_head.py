@@ -15,6 +15,8 @@ from .decode_head import BaseDecodeHead
 class SegformerHead(BaseDecodeHead):
     """All-MLP SegFormer decoder."""
     interpolate_mode: str = 'bilinear'
+    in_index: object = (0, 1, 2, 3)
+    input_transform: str = 'multiple_select'
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):

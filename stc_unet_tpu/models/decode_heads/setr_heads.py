@@ -43,6 +43,8 @@ class SETRUPHead(BaseDecodeHead):
 class SETRMLAHead(BaseDecodeHead):
     """SETR multi-level aggregation head."""
     mla_channels: int = 128
+    in_index: object = (0, 1, 2, 3)
+    input_transform: str = 'multiple_select'
     up_scale: int = 4
 
     @nn.compact

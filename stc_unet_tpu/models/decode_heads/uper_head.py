@@ -18,6 +18,8 @@ from .psp_head import PPM
 class UPerHead(BaseDecodeHead):
     """Unified Perceptual Parsing head."""
     pool_scales: Sequence[int] = (1, 2, 3, 6)
+    in_index: object = (0, 1, 2, 3)
+    input_transform: str = 'multiple_select'
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):

@@ -45,6 +45,10 @@ class EncoderDecoderNet(nn.Module):
         (reference ``encoder_decoder.py:71-82``)."""
         x = self.extract(img, train=train)
         out = self.decode_head(x, train=train)
+        if isinstance(out, tuple):
+            # heads with auxiliary outputs (e.g. EncHead se-loss) expose the
+            # dense logits first (≙ reference EncHead.forward_test → [0])
+            out = out[0]
         out = resize(out, size=img.shape[1:3], mode='bilinear',
                      align_corners=self.align_corners, warning=False)
         return out

@@ -65,8 +65,10 @@ class SelfAttentionBlock(nn.Module):
         key_mods = query_mods if self.share_key_query else self._make_proj(
             self.channels, self.key_query_num_convs, self.key_query_norm,
             'key_project')
+        # mmseg semantics: value projects to `channels` when a separate
+        # out-projection follows, else straight to `out_channels`
         value_mods = self._make_proj(
-            self.out_channels if self.with_out else self.channels,
+            self.channels if self.with_out else self.out_channels,
             self.value_out_num_convs, self.value_out_norm, 'value_project')
         query = self._apply_proj(query_mods, query_feats, train)
         key = self._apply_proj(key_mods, key_feats, train)

@@ -1,0 +1,42 @@
+"""Forward-smoke every ``configs/_base_/models/*.py`` fragment
+(≙ reference model-zoo coverage: each architecture family must not just
+*build* but *run* ``simple_test`` end to end).
+
+Slow (builds + jits ~48 models on CPU) — marked ``slow``; deselect with
+``-m 'not slow'`` for quick runs.
+"""
+import glob
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from stc_unet_tpu.models import build_segmentor
+from stc_unet_tpu.utils import Config
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+FRAGMENTS = sorted(glob.glob(osp.join(REPO, 'configs', '_base_', 'models',
+                                      '*.py')))
+
+
+def test_fragments_found():
+    assert len(FRAGMENTS) > 40
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('cfg_file', FRAGMENTS,
+                         ids=[osp.basename(c) for c in FRAGMENTS])
+def test_fragment_forward(cfg_file):
+    cfg = Config.fromfile(cfg_file)
+    if 'test_cfg' in cfg.model:
+        model = build_segmentor(cfg.model)
+    else:
+        model = build_segmentor(
+            cfg.model,
+            test_cfg=cfg.get('test_cfg') or dict(mode='whole'))
+    model.init_weights(seed=0, input_size=(64, 64))
+    img = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    metas = [dict(ori_shape=(64, 64, 3), img_shape=(64, 64, 3),
+                  pad_shape=(64, 64, 3), scale_factor=1.0, flip=False)]
+    pred = model.simple_test(img, metas)
+    assert pred[0].shape == (64, 64)
