@@ -130,7 +130,59 @@ class EncoderDecoder(BaseSegmentor):
         self.variables = self.net.init(
             {'params': rng, 'dropout': rng}, dummy, train=False,
             method=type(self.net).forward_heads)
+        self._load_backbone_pretrained()
         return self.variables
+
+    def _load_backbone_pretrained(self):
+        """Overlay pretrained backbone weights declared by the config
+        (``backbone.pretrained`` path or ``init_cfg=dict(type='Pretrained',
+        checkpoint=...)``; ≙ mmcv ``BaseModule.init_weights`` checkpoint
+        branch). Accepts this framework's ``.ckpt`` files — notably the
+        output of ``tools/model_converters/*2jax.py``. Remote specs
+        (``open-mmlab://`` / URLs) are skipped with a warning: weights are
+        fetched offline by the converter scripts, not at build time.
+        """
+        import warnings
+
+        spec = self.backbone_cfg.get('pretrained')
+        init_cfg = self.backbone_cfg.get('init_cfg')
+        if spec is None and isinstance(init_cfg, dict) and \
+                init_cfg.get('type') == 'Pretrained':
+            spec = init_cfg.get('checkpoint')
+        if not spec:
+            return
+        if '://' in str(spec) or str(spec).startswith('http'):
+            warnings.warn(
+                f'pretrained="{spec}" is a remote spec; convert it with '
+                'tools/model_converters/*2jax.py and point pretrained at '
+                'the local .ckpt (skipping remote fetch)')
+            return
+        import os.path as osp
+        if not osp.exists(spec):
+            warnings.warn(f'pretrained checkpoint {spec} not found; '
+                          'keeping random init')
+            return
+        from stc_unet_tpu.engine.checkpoint import load_checkpoint_file
+        from stc_unet_tpu.utils.backbone_convert import merge_pretrained
+        blob = load_checkpoint_file(spec)
+        converted = blob['variables']
+        # accept bare backbone trees as well as 'backbone'-wrapped ones
+        if 'backbone' not in converted.get('params', {}):
+            converted = {col: {'backbone': tree}
+                         for col, tree in converted.items()}
+        template = {col: dict(tree) for col, tree in self.variables.items()}
+        sub_t = {col: tree['backbone'] for col, tree in template.items()
+                 if 'backbone' in tree}
+        sub_c = {col: tree['backbone'] for col, tree in converted.items()
+                 if 'backbone' in tree}
+        merged, info = merge_pretrained(sub_t, sub_c)
+        if info['missing']:
+            warnings.warn(f'pretrained {spec}: {len(info["missing"])} '
+                          'backbone leaves kept at random init')
+        for col, tree in merged.items():
+            template[col] = dict(template[col])
+            template[col]['backbone'] = tree
+        self.variables = template
 
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)

@@ -439,3 +439,53 @@ def test_stdc_convert():
     assert not info['missing'] and not info['unexpected'], \
         (info['missing'][:5], info['unexpected'][:5])
     model.apply(merged, x, train=False)
+
+
+# ------------------------------------------------- config-path loading ----
+
+def test_backbone_pretrained_field_loads_ckpt(tmp_path):
+    """backbone.pretrained=<converted .ckpt> must overlay weights at
+    init_weights (≙ mmcv Pretrained init_cfg flow)."""
+    from stc_unet_tpu.engine.checkpoint import save_checkpoint
+    from stc_unet_tpu.models import build_segmentor
+
+    sd = _vit_sd()
+    converted = convert_vit(sd)
+    ckpt = str(tmp_path / 'vit.ckpt')
+    save_checkpoint(ckpt, {col: {'backbone': t}
+                           for col, t in converted.items()})
+    cfg = dict(
+        type='EncoderDecoder',
+        backbone=dict(type='VisionTransformer', img_size=64, patch_size=16,
+                      embed_dims=32, num_layers=2, num_heads=2,
+                      out_indices=(1,), final_norm=True, pretrained=ckpt),
+        decode_head=dict(type='FCNHead', in_channels=32, channels=16,
+                         num_classes=4, num_convs=1),
+        test_cfg=dict(mode='whole'))
+    model = build_segmentor(cfg)
+    model.init_weights(seed=0, input_size=(64, 64))
+    got = np.asarray(
+        model.variables['params']['backbone']['cls_token'])
+    want = sd['cls_token'].numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # and a deep leaf
+    got_qkv = np.asarray(model.variables['params']['backbone']
+                         ['layers_1']['attn']['qkv']['kernel'])
+    np.testing.assert_allclose(
+        got_qkv, sd['blocks.1.attn.qkv.weight'].numpy().T, rtol=1e-6)
+
+
+def test_backbone_pretrained_remote_spec_skipped():
+    import warnings
+    from stc_unet_tpu.models import build_segmentor
+    cfg = dict(
+        type='EncoderDecoder',
+        backbone=dict(type='ResNet', depth=18, pretrained='open-mmlab://x'),
+        decode_head=dict(type='FCNHead', in_channels=512, channels=16,
+                         num_classes=4, num_convs=1),
+        test_cfg=dict(mode='whole'))
+    model = build_segmentor(cfg)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        model.init_weights(seed=0, input_size=(32, 32))
+    assert any('remote spec' in str(x.message) for x in w)
