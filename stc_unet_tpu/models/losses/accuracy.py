@@ -44,3 +44,17 @@ def accuracy(pred, target, topk=1, thresh=None, ignore_index=None):
         correct_k = jnp.sum(correct[..., :k].astype(jnp.float32)) + EPS
         res.append(correct_k * (100.0 / total))
     return res[0] if return_single else res
+
+
+class Accuracy:
+    """Callable wrapper with fixed topk/thresh/ignore_index
+    (≙ reference ``losses/accuracy.py`` ``Accuracy(nn.Module)``)."""
+
+    def __init__(self, topk=(1,), thresh=None, ignore_index=None):
+        self.topk = topk
+        self.thresh = thresh
+        self.ignore_index = ignore_index
+
+    def __call__(self, pred, target):
+        return accuracy(pred, target, self.topk, self.thresh,
+                        self.ignore_index)

@@ -1,3 +1,6 @@
+from ..backbones.resnet import ResLayer
+from ..backbones.unet import UpConvBlock
+from .embed_pad import AdaptivePadding
 from .inverted_residual import (InvertedResidual, InvertedResidualV3,
                                 SELayer, make_divisible)
 from .self_attention_block import SelfAttentionBlock
@@ -6,6 +9,7 @@ from .swin_core import (DropPath, PatchEmbed, PatchMerging,
                         window_partition, window_reverse)
 
 __all__ = [
+    'AdaptivePadding', 'ResLayer', 'UpConvBlock',
     'InvertedResidual', 'InvertedResidualV3', 'SELayer', 'make_divisible',
     'SelfAttentionBlock', 'DropPath', 'PatchEmbed', 'PatchMerging',
     'SwinTransformerBlock', 'WindowAttention', 'drop_path',

@@ -1,3 +1,4 @@
-from .wrappers import resize
+from .encoding import Encoding
+from .wrappers import Upsample, resize
 
-__all__ = ['resize']
+__all__ = ['Encoding', 'Upsample', 'resize']

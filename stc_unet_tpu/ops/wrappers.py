@@ -137,3 +137,23 @@ def resize(input: jax.Array,
         x = _resize_axis_linear(x, 2, out_w, ac)
         return x
     raise ValueError(f'Unsupported resize mode: {mode}')
+
+
+class Upsample:
+    """Callable module-style wrapper over :func:`resize`
+    (≙ reference ``ops/wrappers.py:30`` ``Upsample(nn.Module)``)."""
+
+    def __init__(self, size=None, scale_factor=None, mode='nearest',
+                 align_corners=None):
+        self.size = size
+        self.scale_factor = scale_factor
+        self.mode = mode
+        self.align_corners = align_corners
+
+    def __call__(self, x):
+        if not self.size:
+            size = [int(t * self.scale_factor) for t in x.shape[1:3]]
+        else:
+            size = self.size
+        return resize(x, size=tuple(size), mode=self.mode,
+                      align_corners=self.align_corners, warning=False)
