@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_SLICES_PER_SEC = 6.10  # V100 fp32, see module docstring
-BATCH = 8
+BATCH = 14  # measured sweet spot on v5e (see ROUND_NOTES)
 WARMUP = 2
 ITERS = 10
 
