@@ -91,12 +91,27 @@ def _resize_axis_linear(x: jax.Array, axis: int, out_size: int,
     return out.astype(dtype)
 
 
+@functools.lru_cache(maxsize=256)
+def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(in, out) 0/1 selection matrix — nearest as a matmul (exact; see
+    _resize_axis_linear for why gathers are avoided on TPU)."""
+    idx = _nearest_coords(in_size, out_size)
+    m = np.zeros((in_size, out_size), np.float32)
+    m[idx, np.arange(out_size)] = 1.0
+    return m
+
+
 def _resize_axis_nearest(x: jax.Array, axis: int, out_size: int) -> jax.Array:
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    idx = _nearest_coords(in_size, out_size)
-    return jnp.take(x, jnp.asarray(idx), axis=axis)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        idx = _nearest_coords(in_size, out_size)
+        return jnp.take(x, jnp.asarray(idx), axis=axis)
+    m = jnp.asarray(_nearest_matrix(in_size, out_size), x.dtype)
+    sub = 'nhwc,hH->nHwc' if axis == 1 else 'nhwc,wW->nhWc'
+    return jnp.einsum(sub, x, m,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def resize(input: jax.Array,
