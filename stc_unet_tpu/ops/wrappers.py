@@ -78,8 +78,19 @@ def _resize_axis_linear(x: jax.Array, axis: int, out_size: int,
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    m = _linear_matrix(in_size, out_size, align_corners)
     dtype = x.dtype
+    if in_size * out_size > 8_000_000:
+        # giant axes (≳3k²): the dense interpolation matrix and its FLOPs
+        # outgrow the gather cost — fall back to the two-tap lerp
+        i0, i1, w1 = _linear_coords(in_size, out_size, align_corners)
+        xf = x.astype(jnp.float32) if dtype != jnp.float64 else x
+        lo = jnp.take(xf, jnp.asarray(i0), axis=axis)
+        hi = jnp.take(xf, jnp.asarray(i1), axis=axis)
+        shape = [1] * x.ndim
+        shape[axis] = out_size
+        w = jnp.asarray(w1).reshape(shape)
+        return (lo * (1.0 - w) + hi * w).astype(dtype)
+    m = _linear_matrix(in_size, out_size, align_corners)
     if dtype == jnp.bfloat16:
         operand, mat = x, jnp.asarray(m, jnp.bfloat16)
     else:
