@@ -51,7 +51,7 @@ def train_segmentor(model, dataset, cfg, distributed=False, validate=False,
     (SURVEY.md §2.9). ``distributed=True`` keeps API parity — device
     parallelism engages whenever more than one chip is visible.
     """
-    logger = get_root_logger(cfg.log_level)
+    logger = get_root_logger(log_level=cfg.log_level)
     dataset = dataset if isinstance(dataset, (list, tuple)) else [dataset]
 
     num_devices = jax.local_device_count()
