@@ -40,3 +40,10 @@ def test_fragment_forward(cfg_file):
                   pad_shape=(64, 64, 3), scale_factor=1.0, flip=False)]
     pred = model.simple_test(img, metas)
     assert pred[0].shape == (64, 64)
+    # train path: every fragment must also produce finite losses
+    gt = np.random.RandomState(1).randint(
+        0, max(model.num_classes, 2), (1, 64, 64)).astype(np.int32)
+    losses = model.forward_train(img, metas, gt)
+    total = sum(float(np.asarray(v).mean())
+                for k, v in losses.items() if 'loss' in k)
+    assert np.isfinite(total)
