@@ -1,0 +1,40 @@
+# Ported from the reference zoo (configs/convnext/upernet_convnext_small_fp16_512x512_160k_ade20k.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = ['../_base_/models/upernet_convnext.py',
+ '../_base_/datasets/ade20k.py',
+ '../_base_/default_runtime.py',
+ '../_base_/schedules/schedule_160k.py']
+crop_size = (512, 512)
+checkpoint_file = 'https://download.openmmlab.com/mmclassification/v0/convnext/downstream/convnext-small_3rdparty_32xb128-noema_in1k_20220301-303e75e3.pth'
+model = {'backbone': {'type': 'mmcls.ConvNeXt',
+              'arch': 'small',
+              'out_indices': [0, 1, 2, 3],
+              'drop_path_rate': 0.3,
+              'layer_scale_init_value': 1.0,
+              'gap_before_final_norm': False,
+              'init_cfg': {'type': 'Pretrained',
+                           'checkpoint': 'https://download.openmmlab.com/mmclassification/v0/convnext/downstream/convnext-small_3rdparty_32xb128-noema_in1k_20220301-303e75e3.pth',
+                           'prefix': 'backbone.'}},
+ 'decode_head': {'in_channels': [96, 192, 384, 768], 'num_classes': 150},
+ 'auxiliary_head': {'in_channels': 384, 'num_classes': 150},
+ 'test_cfg': {'mode': 'slide', 'crop_size': (512, 512), 'stride': (341, 341)}}
+optimizer = {'constructor': 'LearningRateDecayOptimizerConstructor',
+ '_delete_': True,
+ 'type': 'AdamW',
+ 'lr': 0.0001,
+ 'betas': (0.9, 0.999),
+ 'weight_decay': 0.05,
+ 'paramwise_cfg': {'decay_rate': 0.9,
+                   'decay_type': 'stage_wise',
+                   'num_layers': 12}}
+lr_config = {'_delete_': True,
+ 'policy': 'poly',
+ 'warmup': 'linear',
+ 'warmup_iters': 1500,
+ 'warmup_ratio': 1e-06,
+ 'power': 1.0,
+ 'min_lr': 0.0,
+ 'by_epoch': False}
+data = {'samples_per_gpu': 2}
+optimizer_config = {'type': 'Fp16OptimizerHook', 'loss_scale': 'dynamic'}
+fp16 = {}

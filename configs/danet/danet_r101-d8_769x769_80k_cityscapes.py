@@ -1,0 +1,4 @@
+# Ported from the reference zoo (configs/danet/danet_r101-d8_769x769_80k_cityscapes.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = './danet_r50-d8_769x769_80k_cityscapes.py'
+model = {'pretrained': 'open-mmlab://resnet101_v1c', 'backbone': {'depth': 101}}

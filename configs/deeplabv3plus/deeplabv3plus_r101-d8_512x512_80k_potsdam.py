@@ -1,0 +1,4 @@
+# Ported from the reference zoo (configs/deeplabv3plus/deeplabv3plus_r101-d8_512x512_80k_potsdam.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = './deeplabv3plus_r50-d8_512x512_80k_potsdam.py'
+model = {'pretrained': 'open-mmlab://resnet101_v1c', 'backbone': {'depth': 101}}

@@ -1,0 +1,9 @@
+# Ported from the reference zoo (configs/deeplabv3plus/deeplabv3plus_r50-d8_769x769_40k_cityscapes.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = ['../_base_/models/deeplabv3plus_r50-d8.py',
+ '../_base_/datasets/cityscapes_769x769.py',
+ '../_base_/default_runtime.py',
+ '../_base_/schedules/schedule_40k.py']
+model = {'decode_head': {'align_corners': True},
+ 'auxiliary_head': {'align_corners': True},
+ 'test_cfg': {'mode': 'slide', 'crop_size': (769, 769), 'stride': (513, 513)}}

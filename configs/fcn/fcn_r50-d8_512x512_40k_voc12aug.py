@@ -1,0 +1,7 @@
+# Ported from the reference zoo (configs/fcn/fcn_r50-d8_512x512_40k_voc12aug.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = ['../_base_/models/fcn_r50-d8.py',
+ '../_base_/datasets/pascal_voc12_aug.py',
+ '../_base_/default_runtime.py',
+ '../_base_/schedules/schedule_40k.py']
+model = {'decode_head': {'num_classes': 21}, 'auxiliary_head': {'num_classes': 21}}

@@ -1,0 +1,4 @@
+# Ported from the reference zoo (configs/fcn/fcn_r50b-d8_769x769_80k_cityscapes.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = './fcn_r50-d8_769x769_80k_cityscapes.py'
+model = {'pretrained': 'torchvision://resnet50', 'backbone': {'type': 'ResNet'}}

@@ -1,0 +1,7 @@
+# Ported from the reference zoo (configs/gcnet/gcnet_r50-d8_512x512_160k_ade20k.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = ['../_base_/models/gcnet_r50-d8.py',
+ '../_base_/datasets/ade20k.py',
+ '../_base_/default_runtime.py',
+ '../_base_/schedules/schedule_160k.py']
+model = {'decode_head': {'num_classes': 150}, 'auxiliary_head': {'num_classes': 150}}

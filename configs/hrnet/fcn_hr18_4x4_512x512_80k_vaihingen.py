@@ -1,0 +1,7 @@
+# Ported from the reference zoo (configs/hrnet/fcn_hr18_4x4_512x512_80k_vaihingen.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = ['../_base_/models/fcn_hr18.py',
+ '../_base_/datasets/vaihingen.py',
+ '../_base_/default_runtime.py',
+ '../_base_/schedules/schedule_80k.py']
+model = {'decode_head': {'num_classes': 6}}

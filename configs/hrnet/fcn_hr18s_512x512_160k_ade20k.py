@@ -1,0 +1,9 @@
+# Ported from the reference zoo (configs/hrnet/fcn_hr18s_512x512_160k_ade20k.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = './fcn_hr18_512x512_160k_ade20k.py'
+model = {'pretrained': 'open-mmlab://msra/hrnetv2_w18_small',
+ 'backbone': {'extra': {'stage1': {'num_blocks': (2,)},
+                        'stage2': {'num_blocks': (2, 2)},
+                        'stage3': {'num_modules': 3, 'num_blocks': (2, 2, 2)},
+                        'stage4': {'num_modules': 2,
+                                   'num_blocks': (2, 2, 2, 2)}}}}

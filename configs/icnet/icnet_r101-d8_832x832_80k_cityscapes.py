@@ -1,0 +1,4 @@
+# Ported from the reference zoo (configs/icnet/icnet_r101-d8_832x832_80k_cityscapes.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = './icnet_r50-d8_832x832_80k_cityscapes.py'
+model = {'backbone': {'backbone_cfg': {'depth': 101}}}

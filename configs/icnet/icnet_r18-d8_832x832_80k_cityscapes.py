@@ -1,7 +1,4 @@
-_base_ = [
-    '../_base_/models/icnet_r50-d8.py',
-    '../_base_/datasets/cityscapes_832x832.py',
-    '../_base_/default_runtime.py',
-    '../_base_/schedules/schedule_80k.py',
-]
-model = dict(backbone=dict(backbone_cfg=dict(depth=18)))
+# Ported from the reference zoo (configs/icnet/icnet_r18-d8_832x832_80k_cityscapes.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = './icnet_r50-d8_832x832_80k_cityscapes.py'
+model = {'backbone': {'layer_channels': (128, 512), 'backbone_cfg': {'depth': 18}}}

@@ -1,0 +1,7 @@
+# Ported from the reference zoo (configs/ocrnet/ocrnet_r101-d8_512x1024_40k_b8_cityscapes.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = ['../_base_/models/ocrnet_r50-d8.py',
+ '../_base_/datasets/cityscapes.py',
+ '../_base_/default_runtime.py',
+ '../_base_/schedules/schedule_40k.py']
+model = {'pretrained': 'open-mmlab://resnet101_v1c', 'backbone': {'depth': 101}}

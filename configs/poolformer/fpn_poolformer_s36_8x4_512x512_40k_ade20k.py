@@ -1,0 +1,8 @@
+# Ported from the reference zoo (configs/poolformer/fpn_poolformer_s36_8x4_512x512_40k_ade20k.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = './fpn_poolformer_s12_8x4_512x512_40k_ade20k.py'
+checkpoint_file = 'https://download.openmmlab.com/mmclassification/v0/poolformer/poolformer-s36_3rdparty_32xb128_in1k_20220414-d78ff3e8.pth'
+model = {'backbone': {'arch': 's36',
+              'init_cfg': {'type': 'Pretrained',
+                           'checkpoint': 'https://download.openmmlab.com/mmclassification/v0/poolformer/poolformer-s36_3rdparty_32xb128_in1k_20220414-d78ff3e8.pth',
+                           'prefix': 'backbone.'}}}

@@ -1,0 +1,7 @@
+# Ported from the reference zoo (configs/pspnet/pspnet_r50-d8_512x512_4x4_20k_coco-stuff10k.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = ['../_base_/models/pspnet_r50-d8.py',
+ '../_base_/datasets/coco-stuff10k.py',
+ '../_base_/default_runtime.py',
+ '../_base_/schedules/schedule_20k.py']
+model = {'decode_head': {'num_classes': 171}, 'auxiliary_head': {'num_classes': 171}}

@@ -1,12 +1,9 @@
-_base_ = [
-    '../_base_/models/pspnet_r50-d8.py',
-    '../_base_/datasets/cityscapes.py',
-    '../_base_/default_runtime.py',
-    '../_base_/schedules/schedule_80k.py',
-]
-model = dict(backbone=dict(_delete_=True, type='ResNeSt',
-                           depth=101, radix=2,
-                           out_indices=(0, 1, 2, 3),
-                           dilations=(1, 1, 2, 4),
-                           strides=(1, 2, 1, 1),
-                           contract_dilation=True))
+# Ported from the reference zoo (configs/resnest/pspnet_s101-d8_512x1024_80k_cityscapes.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = '../pspnet/pspnet_r101-d8_512x1024_80k_cityscapes.py'
+model = {'pretrained': 'open-mmlab://resnest101',
+ 'backbone': {'type': 'ResNeSt',
+              'stem_channels': 128,
+              'radix': 2,
+              'reduction_factor': 4,
+              'avg_down_stride': True}}

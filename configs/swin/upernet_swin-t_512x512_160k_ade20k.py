@@ -1,8 +1,4 @@
-_base_ = [
-    '../_base_/models/upernet_swin.py',
-    '../_base_/datasets/ade20k.py',
-    '../_base_/default_runtime.py',
-    '../_base_/schedules/schedule_160k.py',
-]
-model = dict(decode_head=dict(num_classes=150),
-             auxiliary_head=dict(num_classes=150))
+# Shorthand alias for the reference recipe (same model, AdamW + linear
+# warmup + decay_mult=0 paramwise keys — see the base file).
+_base_ = ['./upernet_swin_tiny_patch4_window7_512x512_160k_ade20k_'
+          'pretrain_224x224_1K.py']

@@ -1,0 +1,21 @@
+# Ported from the reference zoo (configs/twins/twins_pcpvt-s_uperhead_8x4_512x512_160k_ade20k.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = ['../_base_/models/twins_pcpvt-s_upernet.py',
+ '../_base_/datasets/ade20k.py',
+ '../_base_/default_runtime.py',
+ '../_base_/schedules/schedule_160k.py']
+optimizer = {'_delete_': True,
+ 'type': 'AdamW',
+ 'lr': 6e-05,
+ 'betas': (0.9, 0.999),
+ 'weight_decay': 0.01,
+ 'paramwise_cfg': {'custom_keys': {'pos_block': {'decay_mult': 0.0},
+                                   'norm': {'decay_mult': 0.0}}}}
+lr_config = {'_delete_': True,
+ 'policy': 'poly',
+ 'warmup': 'linear',
+ 'warmup_iters': 1500,
+ 'warmup_ratio': 1e-06,
+ 'power': 1.0,
+ 'min_lr': 0.0,
+ 'by_epoch': False}

@@ -1,0 +1,8 @@
+# Ported from the reference zoo (configs/unet/pspnet_unet_s5-d16_128x128_40k_stare.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = ['../_base_/models/pspnet_unet_s5-d16.py',
+ '../_base_/datasets/stare.py',
+ '../_base_/default_runtime.py',
+ '../_base_/schedules/schedule_40k.py']
+model = {'test_cfg': {'crop_size': (128, 128), 'stride': (85, 85)}}
+evaluation = {'metric': 'mDice'}

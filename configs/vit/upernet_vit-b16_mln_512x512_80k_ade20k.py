@@ -1,0 +1,26 @@
+# Ported from the reference zoo (configs/vit/upernet_vit-b16_mln_512x512_80k_ade20k.py) via Config round-trip;
+# semantic 1:1 data port so reference configs keep working.
+_base_ = ['../_base_/models/upernet_vit-b16_ln_mln.py',
+ '../_base_/datasets/ade20k.py',
+ '../_base_/default_runtime.py',
+ '../_base_/schedules/schedule_80k.py']
+model = {'pretrained': 'pretrain/vit_base_patch16_224.pth',
+ 'decode_head': {'num_classes': 150},
+ 'auxiliary_head': {'num_classes': 150}}
+optimizer = {'_delete_': True,
+ 'type': 'AdamW',
+ 'lr': 6e-05,
+ 'betas': (0.9, 0.999),
+ 'weight_decay': 0.01,
+ 'paramwise_cfg': {'custom_keys': {'pos_embed': {'decay_mult': 0.0},
+                                   'cls_token': {'decay_mult': 0.0},
+                                   'norm': {'decay_mult': 0.0}}}}
+lr_config = {'_delete_': True,
+ 'policy': 'poly',
+ 'warmup': 'linear',
+ 'warmup_iters': 1500,
+ 'warmup_ratio': 1e-06,
+ 'power': 1.0,
+ 'min_lr': 0.0,
+ 'by_epoch': False}
+data = {'samples_per_gpu': 2}

@@ -44,8 +44,14 @@ def test_config_data_pipeline_composes(cfg_file):
     cfg = Config.fromfile(cfg_file)
     if 'data' not in cfg:
         pytest.skip('no data section')
-    train_pipeline = cfg.data.train.get('pipeline') or \
-        cfg.data.train.get('dataset', {}).get('pipeline')
-    assert train_pipeline is not None
-    Compose(train_pipeline)
-    Compose(cfg.data.test['pipeline'])
+    train = cfg.data.train
+    # list-form train = implicit ConcatDataset (e.g. occlude_face zoo cfg)
+    train_cfgs = train if isinstance(train, (list, tuple)) else [train]
+    for tc in train_cfgs:
+        train_pipeline = tc.get('pipeline') or \
+            tc.get('dataset', {}).get('pipeline')
+        assert train_pipeline is not None
+        Compose(train_pipeline)
+    # occlude_face zoo cfg ships train+val only — no test split
+    eval_split = cfg.data.get('test') or cfg.data.get('val')
+    Compose(eval_split['pipeline'])
