@@ -66,11 +66,40 @@ def multi_gpu_test(model, data_loader, tmpdir=None, gpu_collect=False,
     import jax
     if pre_eval and jax.process_count() > 1:
         from jax.experimental import multihost_utils
-        local = np.stack([np.stack(r) for r in results])  # (n, 4, C)
-        gathered = multihost_utils.process_allgather(local)
-        gathered = gathered.reshape(-1, *local.shape[1:])
-        results = [tuple(row) for row in gathered]
+        results = _gather_pre_eval_results(
+            results, multihost_utils.process_allgather)
     return results
+
+
+def _gather_pre_eval_results(results, allgather):
+    """All-gather per-host pre_eval 4-tuples, robust to unequal shard sizes.
+
+    ``allgather`` maps a local array of shape S to a stacked (P, *S) array
+    (``multihost_utils.process_allgather`` semantics). Hosts may hold
+    different numbers of results (the sampler pads-to-divisible, but drop_last
+    / uneven datasets can break that): each host pads its stack to the global
+    max count, gathers, then masks the padding rows using the gathered
+    per-host counts. Reference analog: ``collect_results_gpu``
+    (``mmseg/apis/test.py:140`` path)."""
+    local = (np.stack([np.stack(r) for r in results]).astype(np.float64)
+             if results else None)
+    # gather (count, num_classes) so even an empty-shard host can build a
+    # shape-agreeing padded stack (allgather requires identical shapes)
+    meta = np.asarray([len(results),
+                       local.shape[-1] if local is not None else 0])
+    metas = np.asarray(allgather(meta)).reshape(-1, 2)
+    counts, n_max = metas[:, 0], int(metas[:, 0].max())
+    if n_max == 0:
+        return []
+    num_classes = int(metas[:, 1].max())
+    if local is None:
+        local = np.zeros((0, 4, num_classes), np.float64)
+    pad = np.zeros((n_max - local.shape[0],) + local.shape[1:], local.dtype)
+    gathered = np.asarray(allgather(np.concatenate([local, pad], axis=0)))
+    out = []
+    for proc, n in enumerate(counts.tolist()):
+        out.extend(tuple(row) for row in gathered[proc, :int(n)])
+    return out
 
 
 def _batch_indices(data_loader):

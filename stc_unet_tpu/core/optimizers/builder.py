@@ -134,6 +134,17 @@ def build_optimizer_tx(cfg: dict,
     """
     cfg = dict(cfg)
     constructor = cfg.pop('constructor', 'DefaultOptimizerConstructor')
+    if constructor in ('LearningRateDecayOptimizerConstructor',
+                       'LayerDecayOptimizerConstructor'):
+        from .layer_decay import (LayerDecayOptimizerConstructor,
+                                  LearningRateDecayOptimizerConstructor)
+        klass = (LearningRateDecayOptimizerConstructor
+                 if constructor == 'LearningRateDecayOptimizerConstructor'
+                 else LayerDecayOptimizerConstructor)
+        if params is None:
+            raise ValueError(f'{constructor} requires the params pytree')
+        paramwise_cfg = cfg.pop('paramwise_cfg', None) or {}
+        return klass(cfg, paramwise_cfg)(params, schedule=schedule)
     if constructor != 'DefaultOptimizerConstructor':
         raise NotImplementedError(
             f'optimizer constructor {constructor} not supported yet')

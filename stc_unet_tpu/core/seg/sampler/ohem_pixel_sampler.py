@@ -51,7 +51,8 @@ class OHEMPixelSampler(BasePixelSampler):
             flat = jnp.where(valid_mask, gt_prob, jnp.inf).reshape(-1)
             sort_prob = jnp.sort(flat)
             num_valid = jnp.sum(valid_mask)
-            k = jnp.clip(jnp.minimum(batch_kept, num_valid) - 1, 0,
+            # reference indexes sort_prob[min(batch_kept, numel - 1)]
+            k = jnp.clip(jnp.minimum(batch_kept, num_valid - 1), 0,
                          flat.size - 1)
             min_threshold = sort_prob[k]
             threshold = jnp.maximum(min_threshold, self.thresh)
@@ -67,12 +68,15 @@ class OHEMPixelSampler(BasePixelSampler):
                 losses = losses + loss_fn(
                     seg_logit, seg_label, weight=None,
                     ignore_index=ignore_index, reduction_override='none')
+            # reference keeps EXACTLY the top batch_kept valid pixels by
+            # descending sort index (ties included deterministically) —
+            # select by rank, not by a > threshold (which drops all ties):
+            # rank = position of each pixel in the descending sort
+            # (invalid pixels carry -inf so they rank last)
             flat = jnp.where(valid_mask, losses, -jnp.inf).reshape(-1)
-            sort_loss = jnp.sort(flat)[::-1]
-            num_valid = jnp.sum(valid_mask)
-            k = jnp.clip(jnp.minimum(batch_kept, num_valid) - 1, 0,
-                         flat.size - 1)
-            threshold = sort_loss[k]
-            weight = (losses > threshold).astype(seg_logit.dtype)
+            order = jnp.argsort(-flat)
+            rank = jnp.argsort(order)
+            weight = (rank < batch_kept).astype(seg_logit.dtype).reshape(
+                losses.shape)
 
         return jnp.where(valid_mask, weight, 0.0)

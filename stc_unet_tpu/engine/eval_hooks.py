@@ -157,9 +157,40 @@ class EvalHook(Hook):
 
 @HOOKS.register_module()
 class DistEvalHook(EvalHook):
-    """Multi-host eval (reference ``eval_hooks.py:61``). Under the pjit
-    design each host evaluates its loader shard; see module docstring."""
+    """Multi-host eval (reference ``eval_hooks.py:61``).
+
+    Each jax process evaluates its loader shard via ``multi_gpu_test``
+    (the default ``test_fn``), whose pre_eval results are all-gathered
+    across hosts before ``dataset.evaluate`` — so every host sees the FULL
+    result list and metric/save_best decisions agree globally (reference
+    ``eval_hooks.py:95-100``).
+
+    ``broadcast_bn_buffer`` is accepted for parity but is a structural
+    no-op here: the pjit train step keeps ``batch_stats`` replicated by
+    construction (cross-device mean inside one program), so there is never
+    a divergent BN buffer to broadcast.
+    """
 
     def __init__(self, *args, broadcast_bn_buffer=True, tmpdir=None,
                  gpu_collect=False, **kwargs):
+        if kwargs.get('test_fn') is None:
+            from stc_unet_tpu.apis import multi_gpu_test
+            kwargs['test_fn'] = multi_gpu_test
         super().__init__(*args, **kwargs)
+        self.broadcast_bn_buffer = broadcast_bn_buffer
+        self.tmpdir = tmpdir
+        self.gpu_collect = gpu_collect
+
+    def _do_evaluate(self, runner):
+        runner._sync_model()
+        tmpdir = self.tmpdir
+        if tmpdir is None:
+            tmpdir = osp.join(runner.work_dir, '.eval_hook')
+        results = self.test_fn(runner.model, self.dataloader, tmpdir=tmpdir,
+                               gpu_collect=self.gpu_collect,
+                               pre_eval=self.pre_eval)
+        runner.log_buffer.clear()
+        runner.log_buffer.output['eval_iter_num'] = len(self.dataloader)
+        key_score = self.evaluate(runner, results)
+        if self.save_best and key_score is not None:
+            self._save_ckpt(runner, key_score)

@@ -171,6 +171,12 @@ class TextLoggerHook(Hook):
             self.json_log_path = osp.join(runner.work_dir,
                                           f'{runner.timestamp}.log.json')
 
+    def before_epoch(self, runner):
+        # mmcv LoggerHook.before_epoch: epoch averages must not mix in the
+        # previous (train/val) epoch's history, and the buffer must not grow
+        # unboundedly across a long run
+        runner.log_buffer.clear()
+
     def _log_json(self, record: dict):
         if self.json_log_path is None:
             return

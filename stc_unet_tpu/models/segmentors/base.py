@@ -131,9 +131,35 @@ class BaseSegmentor(metaclass=ABCMeta):
             else:
                 log_vars[loss_name] = jnp.mean(loss_value)
         loss = sum(v for k, v in log_vars.items() if 'loss' in k)
+        BaseSegmentor._check_loss_keys_consistent(log_vars)
         log_vars['loss'] = loss
         log_vars = {k: float(v) for k, v in log_vars.items()}
         return loss, log_vars
+
+    @staticmethod
+    def _check_loss_keys_consistent(log_vars, allgather=None,
+                                    process_count=None, process_index=0):
+        """Cross-host loss-key guard (reference ``base.py:198-205``).
+
+        A log-var set that diverges across hosts would desynchronize every
+        later collective (hosts would launch different programs) — fail
+        fast with a readable message instead of hanging. ``allgather`` /
+        ``process_count`` are injectable for unit tests.
+        """
+        if process_count is None:
+            import jax
+            if jax.process_count() <= 1:
+                return
+            from jax.experimental import multihost_utils
+            allgather = multihost_utils.process_allgather
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        lengths = np.asarray(allgather(np.asarray(len(log_vars))))
+        total = int(np.asarray(lengths).sum())
+        assert total == len(log_vars) * process_count, (
+            'loss log variables are different across hosts!\n'
+            f'process {process_index} len(log_vars): {len(log_vars)} '
+            'keys: ' + ','.join(log_vars.keys()))
 
     # -- visualization (reference base.py:217-291) ---------------------------
     def show_result(self, img, result, palette=None, win_name='', show=False,

@@ -53,3 +53,24 @@ def test_constructor_builds_tx():
     u_deep = float(jnp.abs(
         updates['backbone']['layers_5']['fc1']['kernel']).mean())
     assert u_shallow < u_deep
+
+
+def test_build_optimizer_tx_dispatches_constructors():
+    """convnext/beit/mae zoo cfgs set constructor=...; build_optimizer_tx
+    must route to the layer-decay constructors instead of raising."""
+    import jax
+    from stc_unet_tpu.core import build_optimizer_tx
+    params = {'backbone': {'layers_0': {'w': jnp.ones((3, 3))},
+                           'norm': {'scale': jnp.ones((3,))}}}
+    for ctor, pw in [
+            ('LearningRateDecayOptimizerConstructor',
+             dict(decay_rate=0.9, decay_type='stage_wise', num_layers=2)),
+            ('LayerDecayOptimizerConstructor',
+             dict(layer_decay_rate=0.65, num_layers=2))]:
+        cfg = dict(type='AdamW', lr=1e-4, betas=(0.9, 0.999),
+                   weight_decay=0.05, constructor=ctor, paramwise_cfg=pw)
+        tx = build_optimizer_tx(cfg, params=params)
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        assert np.isfinite(float(jnp.sum(updates['backbone']['layers_0']['w'])))

@@ -42,3 +42,23 @@ def test_ohem_ignores_ignore_index():
     sampler = OHEMPixelSampler(context=_Ctx(), thresh=0.7, min_kept=10)
     w = sampler.sample(logits, labels)
     assert float(jnp.sum(w[0])) == 0.0
+
+
+def test_ohem_loss_mode_keeps_exactly_k_under_ties():
+    """All-equal losses (uniform logits): reference keeps exactly
+    min_kept * N by sort index; a strict > threshold would keep zero."""
+    logits = jnp.zeros((2, 8, 8, 4), jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(0).randint(0, 4, (2, 8, 8)))
+    sampler = OHEMPixelSampler(context=_Ctx(), thresh=None, min_kept=10)
+    w = sampler.sample(logits, labels)
+    assert int(np.asarray(w).sum()) == 20  # min_kept * batch
+
+
+def test_ohem_loss_mode_keeps_all_when_fewer_valid_than_kept():
+    logits, labels = _fake_logits_labels()
+    # only 5 valid pixels, min_kept=10 per image -> keep all 5
+    labels = labels.at[:].set(255)
+    labels = labels.at[0, 0, :5].set(1)
+    sampler = OHEMPixelSampler(context=_Ctx(), thresh=None, min_kept=10)
+    w = sampler.sample(logits, labels)
+    assert int(np.asarray(w).sum()) == 5

@@ -155,16 +155,25 @@ def main():
         eval_kwargs.setdefault('imgfile_prefix', osp.join(work_dir,
                                                           'format_results'))
 
-    test_fn = multi_gpu_test if distributed else single_gpu_test
-    results = test_fn(model, data_loader,
-                      show=args.show if not distributed else False,
-                      out_dir=args.show_dir if not distributed else None,
-                      pre_eval=args.eval is not None and not
-                      eval_on_format_results,
-                      format_only=format_only,
-                      format_args=eval_kwargs if format_only else {},
-                      opacity=args.opacity
-                      if not distributed else 0.5)
+    pre_eval = args.eval is not None and not eval_on_format_results
+    if distributed:
+        # multi_gpu_test has no show/out_dir/opacity surface (reference
+        # tools/test.py branches identically)
+        results = multi_gpu_test(model, data_loader,
+                                 tmpdir=osp.join(work_dir, '.dist_test'),
+                                 pre_eval=pre_eval,
+                                 format_only=format_only,
+                                 format_args=eval_kwargs if format_only
+                                 else {})
+    else:
+        results = single_gpu_test(model, data_loader,
+                                  show=args.show,
+                                  out_dir=args.show_dir,
+                                  pre_eval=pre_eval,
+                                  format_only=format_only,
+                                  format_args=eval_kwargs if format_only
+                                  else {},
+                                  opacity=args.opacity)
 
     if args.out:
         import pickle
