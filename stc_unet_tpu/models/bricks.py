@@ -223,8 +223,10 @@ class Conv2d(nn.Module):
 class ConvTranspose2d(nn.Module):
     """torch-semantics ConvTranspose2d(k, stride) on NHWC.
 
-    torch output size = (in-1)*stride - 2*pad + k. flax ConvTranspose with
-    padding='VALID' gives (in-1)*stride + k; we trim ``pad`` from each edge.
+    torch output size = (in-1)*stride - 2*pad + k + output_padding. flax
+    ConvTranspose with padding='VALID' gives (in-1)*stride + k; we trim
+    ``pad`` from the leading edge and ``pad - output_padding`` from the
+    trailing edge (torch's output_padding adds rows/cols at bottom/right).
     Weight layout (kh, kw, in, out); note the torch→jax converter must FLIP
     the spatial dims (torch's op is the conv gradient, which flips; flax's
     does not).
@@ -233,6 +235,7 @@ class ConvTranspose2d(nn.Module):
     kernel_size: Union[int, Tuple[int, int]] = 2
     stride: Union[int, Tuple[int, int]] = 2
     padding: Union[int, Tuple[int, int]] = 0
+    output_padding: Union[int, Tuple[int, int]] = 0
     use_bias: bool = True
 
     @nn.compact
@@ -240,12 +243,17 @@ class ConvTranspose2d(nn.Module):
         k = _pair(self.kernel_size)
         s = _pair(self.stride)
         p = _pair(self.padding)
+        op = _pair(self.output_padding)
         y = nn.ConvTranspose(
             features=self.features, kernel_size=k, strides=s, padding='VALID',
             use_bias=self.use_bias, dtype=x.dtype, param_dtype=jnp.float32,
             name='conv')(x)
+        t = (p[0] - op[0], p[1] - op[1])
+        assert t[0] >= 0 and t[1] >= 0, (
+            'output_padding > padding not supported (would require trailing '
+            f'zero-pad): padding={p}, output_padding={op}')
         if p[0] or p[1]:
-            y = y[:, p[0]:y.shape[1] - p[0], p[1]:y.shape[2] - p[1], :]
+            y = y[:, p[0]:y.shape[1] - t[0], p[1]:y.shape[2] - t[1], :]
         return y
 
 

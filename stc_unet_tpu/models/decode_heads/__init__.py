@@ -1,9 +1,11 @@
 from .ann_head import ANNHead
 from .aspp_head import ASPPHead, ASPPModule
+from .carunet_head import CADRB, CARUnet, DenseASPPBlock, SKAttention
 from .cascade_decode_head import BaseCascadeDecodeHead
 from .cc_head import CCHead, DepthwiseSeparableFCNHead
 from .da_head import DAHead
 from .dc_unet_head import DC_Unet
+from .extra_unet_heads import LinkNet, MultiResUnet, ResUNet
 from .dpt_head import DPTHead
 from .decode_head import BaseDecodeHead
 from .enc_head import EncHead
@@ -37,5 +39,7 @@ __all__ = ['BaseDecodeHead', 'BaseCascadeDecodeHead', 'UnetHead', 'CoordAtt',
            'DAHead', 'EncHead', 'APCHead', 'DMHead', 'DNLHead', 'EMAHead',
            'ISAHead', 'LRASPPHead', 'STDCHead', 'GCHead', 'NLHead',
            'SegmenterMaskTransformerHead', 'SETRMLAHead', 'SETRUPHead',
-           'CCHead', 'DepthwiseSeparableFCNHead', 'PointHead', 'PSAHead', 'DPTHead', 'IterativeDecodeHead',
-           'KernelUpdateHead', 'KernelUpdator']
+           'CCHead', 'DepthwiseSeparableFCNHead', 'PointHead', 'PSAHead',
+           'DPTHead', 'IterativeDecodeHead', 'KernelUpdateHead',
+           'KernelUpdator', 'ResUNet', 'LinkNet', 'MultiResUnet', 'CARUnet',
+           'CADRB', 'DenseASPPBlock', 'SKAttention']

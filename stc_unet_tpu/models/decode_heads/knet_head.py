@@ -19,8 +19,10 @@ from ..builder import HEADS, build_head
 from .decode_head import BaseDecodeHead
 
 
+@HEADS.register_module()
 class KernelUpdator(nn.Module):
-    """Adaptive gated kernel update (reference ``KernelUpdator``)."""
+    """Adaptive gated kernel update (reference ``KernelUpdator``; registered
+    in HEADS like the reference ``knet_head.py`` ``__all__``)."""
     in_channels: int = 256
     feat_channels: int = 64
     out_channels: Optional[int] = None
@@ -66,6 +68,7 @@ class KernelUpdator(nn.Module):
         return nn.gelu(features)
 
 
+@HEADS.register_module()
 class KernelUpdateHead(nn.Module):
     """One K-Net refinement stage (reference ``KernelUpdateHead``)."""
     num_classes: int = 150
