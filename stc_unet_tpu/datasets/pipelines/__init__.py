@@ -1,6 +1,6 @@
 from .compose import Compose
 from .formatting import (Collect, DefaultFormatBundle, ImageToTensor,
-                         ToTensor, Transpose, to_numpy)
+                         ToDataContainer, ToTensor, Transpose, to_numpy)
 from .loading import LoadAnnotations, LoadImage, LoadImageFromFile
 from .test_time_aug import MultiScaleFlipAug
 from .transforms import (CLAHE, AdjustGamma, Normalize, Pad,
@@ -9,7 +9,7 @@ from .transforms import (CLAHE, AdjustGamma, Normalize, Pad,
                          Resize, ResizeToMultiple, RGB2Gray, SegRescale)
 
 __all__ = [
-    'Compose', 'Collect', 'DefaultFormatBundle', 'ImageToTensor', 'ToTensor',
+    'Compose', 'Collect', 'DefaultFormatBundle', 'ImageToTensor', 'ToTensor', 'ToDataContainer',
     'Transpose', 'to_numpy', 'LoadAnnotations', 'LoadImage',
     'LoadImageFromFile', 'MultiScaleFlipAug', 'CLAHE', 'AdjustGamma',
     'Normalize', 'Pad', 'PhotoMetricDistortion', 'RandomCrop', 'RandomCutOut',

@@ -96,6 +96,28 @@ class DefaultFormatBundle:
 
 
 @PIPELINES.register_module()
+class ToDataContainer:
+    """Name-parity no-op (reference ``formatting.py:140``).
+
+    The reference wraps fields in ``mmcv.DataContainer`` to control collate
+    stacking; this framework has no DataContainer concept — the loader
+    always pads/stacks to static shapes (``datasets/builder.py``), which is
+    what ``stack=True`` asked for. Accepted so reference pipeline configs
+    containing this op compose unchanged.
+    """
+
+    def __init__(self, fields=(dict(key='img', stack=True),
+                               dict(key='gt_semantic_seg'))):
+        self.fields = fields
+
+    def __call__(self, results):
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(fields={self.fields})'
+
+
+@PIPELINES.register_module()
 class Collect:
     """Collect data keys + meta (reference ``formatting.py:220``).
 

@@ -180,3 +180,20 @@ def test_clahe():
     t = PIPELINES.build(dict(type='CLAHE'))
     r = t(_base_results())
     assert r['img'].shape == (32, 48, 3)
+
+
+def test_to_data_container_composes_and_passes_through():
+    """Reference pipelines containing ToDataContainer must compose
+    (name-parity no-op: the loader already pads/stacks statically)."""
+    import numpy as np
+    from stc_unet_tpu.datasets.pipelines import Compose
+    pipe = Compose([
+        dict(type='ToDataContainer',
+             fields=(dict(key='img', stack=True),
+                     dict(key='gt_semantic_seg'))),
+    ])
+    results = dict(img=np.zeros((4, 4, 3), np.float32),
+                   gt_semantic_seg=np.zeros((4, 4), np.int64))
+    out = pipe(dict(results))
+    assert out['img'].shape == (4, 4, 3)
+    assert out['gt_semantic_seg'].dtype == np.int64

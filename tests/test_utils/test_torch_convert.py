@@ -147,28 +147,30 @@ class _Up(nn.Module):
 class _TorchSTCUNet(nn.Module):
     """backbone+decode_head attribute names match the reference fork."""
 
-    def __init__(self, stc=True):
+    def __init__(self, stc=True, ch=None, dec=None):
         super().__init__()
+        ch = CH if ch is None else ch
+        dec = DEC if dec is None else dec
         self.stc = stc
         # backbone
-        self.inc = _InConv(3, CH[0])
-        self.down1 = _Down(CH[0], CH[1])
-        self.down2 = _Down(CH[1], CH[2])
-        self.down3 = _Down(CH[2], CH[3])
-        self.down4 = _Down(CH[3], CH[3])
+        self.inc = _InConv(3, ch[0])
+        self.down1 = _Down(ch[0], ch[1])
+        self.down2 = _Down(ch[1], ch[2])
+        self.down3 = _Down(ch[2], ch[3])
+        self.down4 = _Down(ch[3], ch[3])
         if stc:
-            self.context_layer1_1 = _KSA(CH[0])
-            self.context_layer2_1 = _KSA(CH[1])
-            self.context_layer3_1 = _KSA(CH[2])
-            self.aspp4 = _TrBlock(CH[3], 2, 4)
-            self.aspp5 = _TrBlock(CH[3], 2, 4)
+            self.context_layer1_1 = _KSA(ch[0])
+            self.context_layer2_1 = _KSA(ch[1])
+            self.context_layer3_1 = _KSA(ch[2])
+            self.aspp4 = _TrBlock(ch[3], 2, 4)
+            self.aspp5 = _TrBlock(ch[3], 2, 4)
         # head
         se = stc
-        self.up1 = _Up(DEC[0], DEC[0] // 4, se=se)
-        self.up2 = _Up(DEC[1], DEC[1] // 4, se=se)
-        self.up3 = _Up(DEC[2], DEC[2] // 4, se=se)
-        self.up4 = _Up(DEC[3], DEC[4], se=se)
-        self.conv_seg = nn.Conv2d(DEC[4], 2, 1)
+        self.up1 = _Up(dec[0], dec[0] // 4, se=se)
+        self.up2 = _Up(dec[1], dec[1] // 4, se=se)
+        self.up3 = _Up(dec[2], dec[2] // 4, se=se)
+        self.up4 = _Up(dec[3], dec[4], se=se)
+        self.conv_seg = nn.Conv2d(dec[4], 2, 1)
 
     def forward(self, x):
         x1 = self.inc(x)
@@ -198,14 +200,16 @@ def _prefixed_state_dict(tm):
     return sd
 
 
-def _jax_model(stc):
+def _jax_model(stc, ch=None, dec=None):
+    ch = CH if ch is None else ch
+    dec = DEC if dec is None else dec
     return build_segmentor(dict(
         type='EncoderDecoder',
-        backbone=dict(type='UnetBackbone', in_channels=3, channel_list=CH,
+        backbone=dict(type='UnetBackbone', in_channels=3, channel_list=ch,
                       context_layer='kernelselect' if stc else None,
                       transformer_block=stc),
         decode_head=dict(type='UnetHead', se=stc, num_classes=2,
-                         channels=DEC[4], decoder_channel=DEC,
+                         channels=dec[4], decoder_channel=dec,
                          dropout_ratio=0.1,
                          loss_decode=dict(type='CrossEntropyLoss')),
         test_cfg=dict(mode='whole')))
@@ -258,3 +262,37 @@ def test_translate_key_samples():
         ('decode_head', 'conv_seg', 'conv', 'bias'), 'verbatim')
     assert translate_key('backbone.inc.conv.conv.1.num_batches_tracked') \
         is None
+
+
+@pytest.mark.slow
+def test_full_width_model_parity_512():
+    """Checkpoint-parity at REAL geometry (my_config/STC-UNet.py:5-20):
+    channel_list [64,128,256,512], decoder [1024,512,256,128,64], 512x512
+    input — the Dice-parity evidence axis (BASELINE.md) at full width."""
+    ch = [64, 128, 256, 512]
+    dec = [1024, 512, 256, 128, 64]
+    torch.manual_seed(0)
+    tm = _TorchSTCUNet(stc=True, ch=ch, dec=dec).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+    x = torch.randn(1, 3, 512, 512)
+    with torch.no_grad():
+        expected = tm(x).numpy()
+
+    model = _jax_model(True, ch=ch, dec=dec)
+    model.init_weights(seed=0, input_size=(64, 64))
+    variables, report = convert_torch_checkpoint(
+        dict(state_dict=_prefixed_state_dict(tm)), model=model)
+    model.variables = variables
+
+    import jax.numpy as jnp
+    from stc_unet_tpu.models.segmentors.encoder_decoder import \
+        EncoderDecoderNet
+    img = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    outs = model.net.apply(variables, img, train=False,
+                           method=EncoderDecoderNet.forward_heads)
+    got = np.asarray(outs['decode']).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
