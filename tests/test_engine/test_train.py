@@ -182,3 +182,26 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_text_logger_clears_buffer_at_epoch_start(tmp_path):
+    """Regression (advisor r1): workflow [('train',1),('val',1)] val-epoch
+    averages must not mix in accumulated train history, and the buffer must
+    not grow without bound across epochs."""
+    from stc_unet_tpu.engine.hooks import LogBuffer, TextLoggerHook
+
+    class _Runner:
+        iter = 0
+        epoch = 0
+        work_dir = None
+        timestamp = None
+    runner = _Runner()
+    runner.log_buffer = LogBuffer()
+    hook = TextLoggerHook(by_epoch=True, interval=10)
+    hook.before_run(runner)
+    runner.log_buffer.update({'loss': 10.0})  # train-epoch history
+    hook.before_val_epoch(runner)             # mmcv clears here
+    assert runner.log_buffer.val_history == {}
+    runner.log_buffer.update({'loss': 2.0})   # val-iter history
+    runner.log_buffer.average()
+    assert runner.log_buffer.output['loss'] == 2.0  # train 10.0 excluded

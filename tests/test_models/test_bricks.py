@@ -192,3 +192,21 @@ def test_linear_parity():
     ours = np.asarray(m.apply(params, x))
     np.testing.assert_allclose(ours, tl(torch.from_numpy(x)).detach().numpy(),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('k,s,p,op', [(3, 2, 1, 1), (3, 1, 1, 0),
+                                      (2, 2, 0, 0), (4, 2, 1, 0)])
+def test_conv_transpose2d_output_padding_parity(k, s, p, op):
+    """torch output_padding semantics (LinkNet decoders use k3/s2/p1/op1)."""
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 6, 5, 3).astype(np.float32)
+    tconv = tnn.ConvTranspose2d(3, 4, k, stride=s, padding=p,
+                                output_padding=op)
+    ref = to_nhwc(tconv(to_nchw_t(x)))
+    m = ConvTranspose2d(4, k, s, padding=p, output_padding=op)
+    w = tconv.weight.detach().numpy().transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+    params = {'params': {'conv': {'kernel': w,
+                                  'bias': tconv.bias.detach().numpy()}}}
+    ours = np.asarray(m.apply(params, x))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
