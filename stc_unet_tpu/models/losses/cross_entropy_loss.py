@@ -79,6 +79,28 @@ def binary_cross_entropy(pred, label, weight=None, reduction='mean',
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
 
 
+def mask_cross_entropy(pred, target, label, reduction='mean',
+                       avg_factor=None, class_weight=None, ignore_index=None,
+                       **kwargs):
+    """Per-ROI mask BCE (reference ``cross_entropy_loss.py:157``): select
+    each ROI's class-``label`` mask channel from pred (N, H, W, C) or (N, C)
+    and BCE it against ``target``. Returns a length-1 array like the
+    reference's ``[None]`` expansion."""
+    assert ignore_index is None, 'BCE loss does not support ignore_index'
+    assert reduction == 'mean' and avg_factor is None
+    pred = pred.astype(jnp.float32)
+    label = jnp.asarray(label).astype(jnp.int32)
+    pred_slice = jnp.take_along_axis(
+        pred, label.reshape(label.shape[0], *([1] * (pred.ndim - 1))),
+        axis=-1)[..., 0]
+    target = jnp.asarray(target, jnp.float32)
+    loss = jnp.maximum(pred_slice, 0) - pred_slice * target + \
+        jnp.log1p(jnp.exp(-jnp.abs(pred_slice)))
+    if class_weight is not None:
+        loss = loss * jnp.asarray(class_weight, jnp.float32)
+    return jnp.mean(loss)[None]
+
+
 @LOSSES.register_module()
 class CrossEntropyLoss:
     """CE / BCE loss with mmseg semantics (reference ``:197``).
@@ -86,6 +108,7 @@ class CrossEntropyLoss:
     A plain callable (no parameters); ``loss_name`` keys the loss dict and
     gradient participation (``loss_`` prefix).
     """
+
 
     def __init__(self, use_sigmoid=False, use_mask=False, reduction='mean',
                  class_weight=None, loss_weight=1.0, loss_name='loss_ce',
@@ -99,6 +122,8 @@ class CrossEntropyLoss:
         self.avg_non_ignore = avg_non_ignore
         if self.use_sigmoid:
             self.cls_criterion = binary_cross_entropy
+        elif self.use_mask:
+            self.cls_criterion = mask_cross_entropy
         else:
             self.cls_criterion = cross_entropy
         self._loss_name = loss_name

@@ -160,3 +160,27 @@ def test_losses_jittable():
     assert np.isfinite(float(v))
     g = jax.grad(lambda lg: total(lg, labels))(logits)
     assert g.shape == logits.shape and bool(jnp.isfinite(g).all())
+
+
+def test_mask_cross_entropy_torch_parity():
+    """use_mask branch (reference cross_entropy_loss.py:157)."""
+    import torch
+    import torch.nn.functional as F
+    from stc_unet_tpu.models.losses import mask_cross_entropy
+    rng = np.random.RandomState(0)
+    pred = rng.randn(4, 3).astype(np.float32)
+    label = rng.randint(0, 3, (4,))
+    target = rng.rand(4).astype(np.float32)
+    tp = torch.from_numpy(pred)
+    ps = tp[torch.arange(4), torch.from_numpy(label)]
+    ref = F.binary_cross_entropy_with_logits(
+        ps, torch.from_numpy(target), reduction='mean')[None]
+    got = mask_cross_entropy(jnp.asarray(pred), target, label)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-5)
+
+
+def test_cross_entropy_loss_use_mask_dispatch():
+    from stc_unet_tpu.models.builder import build_loss
+    from stc_unet_tpu.models.losses import mask_cross_entropy
+    loss = build_loss(dict(type='CrossEntropyLoss', use_mask=True))
+    assert loss.cls_criterion is mask_cross_entropy
