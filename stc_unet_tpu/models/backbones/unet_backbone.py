@@ -69,16 +69,20 @@ class KernelSelectAttention(nn.Module):
                        name=f'conv{i}')(x)
             h = BatchNorm(name=f'bn{i}')(h, train=train)
             conv_outs.append(nn.relu(h))
-        feats = jnp.stack(conv_outs, axis=0)          # (k, N, H, W, C)
-        U = sum(conv_outs)                            # (N, H, W, C)
-        S = jnp.mean(U, axis=(1, 2))                  # (N, C)
-        Z = Linear(d, name='fc')(S)                   # (N, d)
+        # HBM-bandwidth form: never materialize the (k, N, H, W, C) stack
+        # (3.2 GB at stage-1 slide shapes) nor the summed U map — the pooled
+        # statistic of the sum is the sum of per-branch pooled means, and
+        # the softmax-weighted branch sum is a per-branch fma chain XLA can
+        # fuse into the conv epilogues. Same math as the stacked form.
+        S = sum(jnp.mean(h, axis=(1, 2)) for h in conv_outs)   # (N, C)
+        Z = Linear(d, name='fc')(S)                            # (N, d)
         weights = [Linear(c, name=f'fcs{i}')(Z)
                    for i in range(len(self.kernels))]
-        att = jnp.stack(weights, axis=0)              # (k, N, C)
-        att = nn.softmax(att, axis=0)
-        att = att[:, :, None, None, :]                # (k, N, 1, 1, C)
-        return jnp.sum(att * feats, axis=0)
+        att = nn.softmax(jnp.stack(weights, axis=0), axis=0)   # (k, N, C)
+        out = 0.
+        for i, h in enumerate(conv_outs):
+            out = out + att[i][:, None, None, :].astype(h.dtype) * h
+        return out
 
 
 class MultiheadAttention(nn.Module):

@@ -8,7 +8,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from stc_unet_tpu.ops import resize
-from ..bricks import Conv2d, ConvModule
+from ..bricks import Conv2d, ConvModule, Linear
 from ..builder import HEADS
 from .decode_head import BaseDecodeHead
 
@@ -23,6 +23,21 @@ class ReassembleBlocks(nn.Module):
     def __call__(self, inputs, train: bool = False):
         outs = []
         for i, x in enumerate(inputs):
+            if isinstance(x, (tuple, list)):
+                # ViT with_cls_token output: (feature_map, cls_token) —
+                # readout branches per reference dpt_head.py ReassembleBlocks
+                x, cls_token = x
+                if self.readout_type == 'project':
+                    b, h, w, c = x.shape
+                    tokens = x.reshape(b, h * w, c)
+                    cls = jnp.broadcast_to(cls_token[:, None, :],
+                                           tokens.shape)
+                    tokens = Linear(c, name=f'readout_projects_{i}')(
+                        jnp.concatenate([tokens, cls], axis=-1))
+                    x = nn.gelu(tokens).reshape(b, h, w, c)
+                elif self.readout_type == 'add':
+                    x = x + cls_token[:, None, None, :]
+                # 'ignore': drop the cls token
             x = Conv2d(self.post_process_channels[i], 1,
                        name=f'projects_{i}')(x)
             # resize: stages get strides 4, 8, 16, 32 from a /16 base
