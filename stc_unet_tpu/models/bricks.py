@@ -370,6 +370,11 @@ def adaptive_avg_pool2d(x, output_size):
     n, h, w, c = x.shape
     oh = h if oh is None else oh
     ow = w if ow is None else ow
+    # accumulate in f32: bf16-native means lower to a ~10x-slower TPU
+    # reduction than the fused convert+reduce, and lose precision
+    in_dtype = x.dtype
+    if x.dtype == jnp.bfloat16:
+        x = x.astype(jnp.float32)
 
     def pool_axis(arr, axis, in_size, out_size):
         if out_size == in_size:
@@ -393,7 +398,7 @@ def adaptive_avg_pool2d(x, output_size):
 
     x = pool_axis(x, 1, h, oh)
     x = pool_axis(x, 2, w, ow)
-    return x
+    return x.astype(in_dtype)
 
 
 def adaptive_max_pool2d(x, output_size):

@@ -48,7 +48,7 @@ class MecaBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        y_avg = jnp.mean(x, axis=(1, 2))
+        y_avg = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
         y_max = jnp.max(x, axis=(1, 2))
         shared = Linear(c, use_bias=False, name='shared_conv')
         out = shared(y_avg) + shared(y_max)

@@ -47,8 +47,11 @@ class CoordAtt(nn.Module):
     def __call__(self, x, train: bool = False):
         n, h, w, c = x.shape
         mip = max(8, c // self.reduction)
-        x_h = jnp.mean(x, axis=2, keepdims=True)            # (N, H, 1, C)
-        x_w = jnp.mean(x, axis=1, keepdims=True)            # (N, 1, W, C)
+        # strip pools accumulate in f32: bf16-native reductions lower ~10x
+        # slower on TPU (see KernelSelectAttention note) and less accurately
+        xf = x.astype(jnp.float32)
+        x_h = jnp.mean(xf, axis=2, keepdims=True).astype(x.dtype)
+        x_w = jnp.mean(xf, axis=1, keepdims=True).astype(x.dtype)
         x_w_t = jnp.transpose(x_w, (0, 2, 1, 3))            # (N, W, 1, C)
         y = jnp.concatenate([x_h, x_w_t], axis=1)           # (N, H+W, 1, C)
         y = Conv2d(mip, 1, name='conv1')(y)
