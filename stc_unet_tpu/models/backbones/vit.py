@@ -148,5 +148,11 @@ class VisionTransformer(nn.Module):
                                       dtype=tokens.dtype)(tokens)
             if i in out_indices:
                 t = tokens[:, 1:] if self.with_cls_token else tokens
-                outs.append(t.reshape(b, h, w, self.embed_dims))
+                feat = t.reshape(b, h, w, self.embed_dims)
+                if self.with_cls_token and self.output_cls_token:
+                    # reference vit.py: [patch_tokens, cls_token] per level —
+                    # the DPTHead readout contract
+                    outs.append((feat, tokens[:, 0]))
+                else:
+                    outs.append(feat)
         return outs

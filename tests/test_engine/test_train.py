@@ -205,3 +205,23 @@ def test_text_logger_clears_buffer_at_epoch_start(tmp_path):
     runner.log_buffer.update({'loss': 2.0})   # val-iter history
     runner.log_buffer.average()
     assert runner.log_buffer.output['loss'] == 2.0  # train 10.0 excluded
+
+
+def test_train_validate_save_best_and_dist_hook(data_root, tmp_path):
+    """validate=True with save_best writes a best checkpoint; the
+    distributed=True path (DistEvalHook → multi_gpu_test) completes on a
+    single process (gather is a no-op at process_count()==1)."""
+    from stc_unet_tpu.apis import train_segmentor
+    from stc_unet_tpu.datasets import build_dataset
+    cfg = _train_cfg(data_root, str(tmp_path / 'wd_best'))
+    cfg.evaluation = dict(interval=1, metric='mDice', save_best='mDice',
+                          pre_eval=True)
+    model = build_segmentor(cfg.model)
+    model.init_weights(seed=0)
+    dataset = build_dataset(cfg.data.train)
+    runner = train_segmentor(model, dataset, cfg, distributed=True,
+                             validate=True)
+    best = [f for f in os.listdir(cfg.work_dir) if f.startswith('best_mDice')]
+    assert best, os.listdir(cfg.work_dir)
+    if runner.meta is not None:
+        assert runner.meta['hook_msgs']['best_score'] > 0
