@@ -142,3 +142,17 @@ def test_model_ensemble(tiny_cfg, tmp_path):
                '--checkpoint', ckpts[0], ckpts[1], '--out', out_dir])
     outs = os.listdir(out_dir)
     assert len(outs) == 2  # one prediction map per image
+
+
+def test_deployment_entries_export_and_verify(tiny_cfg, tmp_path):
+    """pytorch2onnx / pytorch2torchscript (reference argv) delegate to the
+    AOT exporter and emit a runnable StableHLO artifact with --verify."""
+    out = tmp_path / 'm.stablehlo'
+    _run_tool('pytorch2onnx.py', [tiny_cfg, '--shape', 16, 16,
+                                  '--output-file', out, '--verify'])
+    text = out.read_text()
+    assert 'stablehlo' in text or 'module' in text
+    out2 = tmp_path / 'm2.stablehlo'
+    _run_tool('pytorch2torchscript.py', [tiny_cfg, '--shape', 16, 16,
+                                         '--output-file', out2])
+    assert out2.exists()
