@@ -99,3 +99,72 @@ def test_init_and_inference_roundtrip(tiny_root, tmp_path):
     np.testing.assert_array_equal(np.asarray(res[0]), np.asarray(res2[0]))
     out = model2.show_result(img_path, res, opacity=0.5)
     assert out.shape == (32, 32, 3)
+
+
+def test_inference_segmentor_with_flip_tta(tiny_root, tmp_path):
+    """MultiScaleFlipAug flip=True path through the public inference API
+    (reference inference.py:70 + aug_test averaging)."""
+    from stc_unet_tpu.utils import Config
+    cfg = Config(dict(
+        model=dict(MODEL),
+        data=dict(test=dict(
+            type='MyDataset', data_root=tiny_root, img_dir='imgs',
+            ann_dir='anns', test_mode=True,
+            pipeline=[
+                dict(type='LoadImageFromFile'),
+                dict(type='MultiScaleFlipAug', img_scale=(32, 32),
+                     flip=True, flip_direction=['horizontal'],
+                     transforms=[
+                         dict(type='Resize', keep_ratio=False),
+                         dict(type='RandomFlip'),
+                         dict(type='Normalize', mean=[0, 0, 0],
+                              std=[255, 255, 255], to_rgb=True),
+                         dict(type='ImageToTensor', keys=['img']),
+                         dict(type='Collect', keys=['img'])])]))))
+    model = init_segmentor(cfg)
+    result = inference_segmentor(model, os.path.join(tiny_root, 'imgs',
+                                                     '0.png'))
+    assert np.asarray(result[0]).shape == (32, 32)
+
+
+def test_show_result_pyplot_writes_file(tiny_root, tmp_path):
+    from stc_unet_tpu.apis import show_result_pyplot
+    from stc_unet_tpu.models import build_segmentor
+    model = build_segmentor(MODEL, test_cfg=dict(mode='whole'))
+    model.init_weights(seed=0)
+    model.PALETTE = [[0, 0, 0], [255, 0, 0]]
+    img = np.zeros((32, 32, 3), np.uint8)
+    seg = np.zeros((32, 32), np.int64)
+    out = str(tmp_path / 'vis.png')
+    show_result_pyplot(model, img, [seg], out_file=out, block=False)
+    assert os.path.exists(out)
+
+
+def test_checkpoint_hook_max_keep(tmp_path):
+    """max_keep_ckpts prunes old epoch checkpoints (mmcv semantics) —
+    exercised through the real BaseRunner.save_checkpoint."""
+    import logging
+    from stc_unet_tpu.engine.runner import BaseRunner
+
+    class _Runner:
+        work_dir = str(tmp_path)
+        meta = None
+        logger = logging.getLogger('test')
+        epoch = 0
+        iter = 0
+
+        class state:
+            variables = {'params': {'w': np.zeros(1)}}
+            opt_state = None
+            step = 0
+
+        class model:
+            CLASSES = None
+            PALETTE = None
+    runner = _Runner()
+    for ep in range(4):
+        runner.epoch = ep
+        BaseRunner.save_checkpoint(runner, str(tmp_path), by_epoch=True,
+                                   save_optimizer=False, max_keep_ckpts=2)
+    ckpts = sorted(f for f in os.listdir(tmp_path) if f.startswith('epoch'))
+    assert ckpts == ['epoch_3.ckpt', 'epoch_4.ckpt'], ckpts
