@@ -225,3 +225,27 @@ def test_train_validate_save_best_and_dist_hook(data_root, tmp_path):
     assert best, os.listdir(cfg.work_dir)
     if runner.meta is not None:
         assert runner.meta['hook_msgs']['best_score'] > 0
+
+
+def test_iter_based_runner_with_val_workflow(data_root, tmp_path):
+    """IterBasedRunner driving workflow [('train', 2), ('val', 1)] with
+    iter-based checkpointing/eval (the stock zoo schedule shape)."""
+    from stc_unet_tpu.apis import train_segmentor
+    from stc_unet_tpu.datasets import build_dataset
+    cfg = _train_cfg(data_root, str(tmp_path / 'wd_iter'))
+    cfg.runner = dict(type='IterBasedRunner', max_iters=4)
+    cfg.checkpoint_config = dict(by_epoch=False, interval=2)
+    cfg.evaluation = dict(interval=2, metric='mIoU', by_epoch=False,
+                          pre_eval=True)
+    cfg.lr_config = dict(policy='poly', power=0.9, min_lr=1e-6,
+                         by_epoch=False)
+    cfg.workflow = [('train', 2), ('val', 1)]
+    model = build_segmentor(cfg.model)
+    model.init_weights(seed=0)
+    # workflow-val loaders need gt (train-style pipeline), mmcv convention
+    datasets = [build_dataset(cfg.data.train),
+                build_dataset(cfg.data.train)]
+    runner = train_segmentor(model, datasets, cfg, validate=True)
+    assert runner.iter == 4
+    assert os.path.exists(os.path.join(cfg.work_dir, 'iter_4.ckpt'))
+    assert os.path.exists(os.path.join(cfg.work_dir, 'latest.ckpt'))
