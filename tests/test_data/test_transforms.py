@@ -197,3 +197,35 @@ def test_to_data_container_composes_and_passes_through():
     out = pipe(dict(results))
     assert out['img'].shape == (4, 4, 3)
     assert out['gt_semantic_seg'].dtype == np.int64
+
+
+def test_multiscale_flip_aug_ratios_and_directions():
+    """img_ratios x flip_direction expansion (reference
+    test_time_aug.py): 2 ratios x (1 + 2 flips) = 6 aug views."""
+    import numpy as np
+    from stc_unet_tpu.datasets.pipelines import Compose
+    pipe = Compose([dict(
+        type='MultiScaleFlipAug', img_scale=(32, 32),
+        img_ratios=[0.5, 1.0], flip=True,
+        flip_direction=['horizontal', 'vertical'],
+        transforms=[
+            dict(type='Resize', keep_ratio=False),
+            dict(type='RandomFlip'),
+            dict(type='ImageToTensor', keys=['img']),
+            dict(type='Collect', keys=['img']),
+        ])])
+    results = dict(img=np.zeros((20, 20, 3), np.float32),
+                   img_shape=(20, 20, 3), ori_shape=(20, 20, 3),
+                   img_fields=['img'], scale_factor=1.0)
+    out = pipe(results)
+    # mmcv loops scales x [False, True] x directions: the no-flip view is
+    # duplicated per direction -> 2 * 2 * 2 = 8 views
+    assert len(out['img']) == 8
+    shapes = {tuple(i.shape[-2:]) if i.ndim == 3 else tuple(i.shape[:2])
+              for i in out['img']}
+    assert len(shapes) == 2  # two distinct scales
+    flips = [m['flip'] for m in out['img_metas']]
+    assert flips.count(True) == 4 and flips.count(False) == 4
+    dirs = {m['flip_direction'] for m in out['img_metas']
+            if m['flip']}
+    assert dirs == {'horizontal', 'vertical'}

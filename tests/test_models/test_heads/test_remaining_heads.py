@@ -91,3 +91,33 @@ def test_kernel_updator_standalone_from_registry():
     out = m.apply(variables, update_feat, input_feat)
     assert out.shape == (4, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_knet_iterative_head_train_loss():
+    """KNet end-to-end train loss through the iterative head (stage losses
+    aggregated; reference knet_head.py losses path)."""
+    import numpy as np
+    from stc_unet_tpu.models import build_segmentor
+    cfg = dict(
+        type='EncoderDecoder',
+        backbone=dict(type='UnetBackbone', in_channels=3,
+                      channel_list=[4, 8, 8, 8]),
+        decode_head=dict(
+            type='IterativeDecodeHead', num_stages=1,
+            kernel_generate_head=dict(
+                type='FCNHead', in_channels=8, in_index=4, channels=8,
+                num_convs=1, concat_input=False, num_classes=3,
+                loss_decode=dict(type='CrossEntropyLoss')),
+            kernel_update_head=[dict(
+                type='KernelUpdateHead', num_classes=3, num_heads=2,
+                in_channels=8, out_channels=8, feedforward_channels=16)]),
+        test_cfg=dict(mode='whole'))
+    model = build_segmentor(cfg)
+    model.init_weights(seed=0, input_size=(32, 32))
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    gt = np.random.RandomState(1).randint(0, 3, (1, 32, 32))
+    metas = [dict(ori_shape=(32, 32, 3), img_shape=(32, 32, 3),
+                  pad_shape=(32, 32, 3), scale_factor=1.0, flip=False)]
+    losses = model.forward_train(img, metas, gt_semantic_seg=gt)
+    total = sum(float(jnp.mean(v)) for k, v in losses.items() if 'loss' in k)
+    assert np.isfinite(total)
