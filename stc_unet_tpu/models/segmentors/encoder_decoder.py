@@ -92,11 +92,25 @@ class EncoderDecoder(BaseSegmentor):
         self.mesh = None  # set via set_mesh() to shard inference
 
     def set_mesh(self, mesh):
-        """Shard inference over a device mesh: whole-mode batches and slide
-        tiles split along the mesh's 'data' axis (the spatial-tile axis is
-        this workload's sequence parallelism — SURVEY.md §5)."""
+        """Shard inference over a device mesh.
+
+        - 'data' axis: whole-mode batches and slide tiles split along it
+          (the spatial-tile axis is this workload's sequence parallelism —
+          SURVEY.md §5).
+        - 'spatial' axis (optional, 2-D mesh): whole-mode images are
+          additionally sharded along H — XLA GSPMD inserts the conv halo
+          exchanges over ICI automatically, letting one image larger than a
+          chip's HBM span multiple chips (CT whole-slice inference).
+        """
         self.mesh = mesh
         self._jit_cache.clear()
+
+    def _whole_spec(self):
+        """PartitionSpec for a whole-mode (N, H, W, C) batch on self.mesh."""
+        from jax.sharding import PartitionSpec
+        axes = self.mesh.axis_names
+        return PartitionSpec('data' if 'data' in axes else None,
+                             'spatial' if 'spatial' in axes else None)
 
     def _init_decode_head(self, decode_head):
         self.decode_head = builder.build_head(decode_head)
@@ -203,9 +217,16 @@ class EncoderDecoder(BaseSegmentor):
         key = 'encode_decode'
         if key not in self._jit_cache:
             net = self.net
+            mesh = self.mesh if (self.mesh is not None
+                                 and self.mesh.devices.size > 1) else None
+            spec = self._whole_spec() if mesh is not None else None
 
             @jax.jit
             def fn(variables, img):
+                if mesh is not None:
+                    from jax.sharding import NamedSharding
+                    img = jax.lax.with_sharding_constraint(
+                        img, NamedSharding(mesh, spec))
                 return net.apply(variables, img, train=False)
 
             self._jit_cache[key] = fn

@@ -75,3 +75,33 @@ def test_sharded_slide_matches_single():
     pred_sharded = model_sharded.simple_test(img, metas)
     for a, b in zip(pred_single, pred_sharded):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spatial_sharded_whole_matches_unsharded():
+    """2-D (data x spatial) mesh: whole-mode inference with images sharded
+    along H (GSPMD halo exchange) must match the unsharded forward."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from stc_unet_tpu.models import build_segmentor
+    cfg = dict(
+        type='EncoderDecoder',
+        backbone=dict(type='UnetBackbone', in_channels=3,
+                      context_layer='kernelselect', transformer_block=True,
+                      channel_list=[4, 8, 8, 8]),
+        decode_head=dict(type='UnetHead', se=True, num_classes=2, channels=4,
+                         decoder_channel=[16, 16, 16, 16, 4],
+                         loss_decode=dict(type='CrossEntropyLoss')),
+        test_cfg=dict(mode='whole'))
+    model = build_segmentor(cfg)
+    model.init_weights(seed=0, input_size=(32, 32))
+    img = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    metas = [dict(ori_shape=(64, 64, 3), img_shape=(64, 64, 3),
+                  pad_shape=(64, 64, 3), scale_factor=1.0, flip=False)
+             for _ in range(2)]
+    ref = model.simple_test(img, metas)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ('data', 'spatial'))
+    model.set_mesh(mesh)
+    got = model.simple_test(img, metas)
+    np.testing.assert_array_equal(np.stack(got), np.stack(ref))
