@@ -249,3 +249,36 @@ def test_iter_based_runner_with_val_workflow(data_root, tmp_path):
     assert runner.iter == 4
     assert os.path.exists(os.path.join(cfg.work_dir, 'iter_4.ckpt'))
     assert os.path.exists(os.path.join(cfg.work_dir, 'latest.ckpt'))
+
+
+def test_spatial_sharded_train_step_matches_single(data_root):
+    """2-D (data x spatial) sharding of the TRAIN step: batch split over
+    'data' AND H split over 'spatial' (GSPMD halo exchange in fwd+bwd)
+    must match the single-device step."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from stc_unet_tpu.core import build_optimizer_tx
+    from stc_unet_tpu.engine import TrainState, make_train_step
+    model = build_segmentor(_model_cfg())
+    variables = model.init_weights(seed=0)
+    tx = build_optimizer_tx(dict(type='SGD', lr=1e-2, momentum=0.9))
+    rng = jax.random.PRNGKey(0)
+    img = np.random.RandomState(0).rand(4, 16, 16, 3).astype(np.float32)
+    gt = (img.mean(-1) > 0.5).astype(np.int32)
+
+    state1 = TrainState.create(variables, tx)
+    step1 = make_train_step(model, tx, mesh=None, donate=False)
+    s1, logs1 = step1(state1, img, gt, rng)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ('data', 'spatial'))
+    state2 = TrainState.create(variables, tx)
+    step2 = make_train_step(model, tx, mesh=mesh,
+                            data_axes=P('data', 'spatial'), donate=False)
+    s2, logs2 = step2(state2, img, gt, rng)
+
+    np.testing.assert_allclose(float(logs1['loss']), float(logs2['loss']),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)

@@ -156,3 +156,18 @@ def test_deployment_entries_export_and_verify(tiny_cfg, tmp_path):
     _run_tool('pytorch2torchscript.py', [tiny_cfg, '--shape', 16, 16,
                                          '--output-file', out2])
     assert out2.exists()
+
+
+def test_benchmark_cli(tiny_cfg, capsys):
+    _run_tool('benchmark.py', [tiny_cfg, '--total-iters', 3,
+                               '--warmup-iters', 1, '--log-interval', 2])
+    out = capsys.readouterr().out
+    assert 'fps' in out.lower() or 'img / s' in out.lower() or \
+        'img/s' in out.lower()
+
+
+def test_get_flops_cli(tiny_cfg, capsys):
+    _run_tool('get_flops.py', [tiny_cfg, '--shape', 32, 32])
+    out = capsys.readouterr().out
+    assert 'Flops' in out or 'GFLOPs' in out or 'flops' in out.lower()
+    assert 'arams' in out  # Params/params
