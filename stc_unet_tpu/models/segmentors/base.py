@@ -9,6 +9,7 @@ reference API that are inherently stateful/host-side.
 """
 from __future__ import annotations
 
+import os
 from abc import ABCMeta, abstractmethod
 from typing import Any, Dict, List, Optional
 
@@ -185,6 +186,9 @@ class BaseSegmentor(metaclass=ABCMeta):
         color_seg = color_seg[..., ::-1]  # BGR
         out = (img * (1 - opacity) + color_seg * opacity).astype(np.uint8)
         if out_file is not None:
+            # mmcv.imwrite auto-creates parent dirs — keep that contract
+            os.makedirs(os.path.dirname(os.path.abspath(out_file)),
+                        exist_ok=True)
             cv2.imwrite(out_file, out)
         if show:  # pragma: no cover
             cv2.imshow(win_name, out)

@@ -171,3 +171,28 @@ def test_get_flops_cli(tiny_cfg, capsys):
     out = capsys.readouterr().out
     assert 'Flops' in out or 'GFLOPs' in out or 'flops' in out.lower()
     assert 'arams' in out  # Params/params
+
+
+def test_test_cli_aug_test_and_show_dir(tiny_cfg, tmp_path, monkeypatch):
+    """tools/test.py end-to-end (fork argv: data_root config ckpt) with
+    --aug-test multi-scale+flip TTA and --show-dir output."""
+    from stc_unet_tpu.engine import save_checkpoint
+    from stc_unet_tpu.models import build_segmentor
+    from stc_unet_tpu.utils import Config
+    cfg = Config.fromfile(tiny_cfg)
+    model = build_segmentor(cfg.model)
+    model.init_weights(seed=0)
+    ckpt = tmp_path / 'm.ckpt'
+    save_checkpoint(str(ckpt), model.variables, step=1,
+                    meta=dict(CLASSES=['bg', 'fg'],
+                              PALETTE=[[0, 0, 0], [255, 0, 0]]))
+    data_root = cfg.data.test['data_root']
+    monkeypatch.chdir(tmp_path)
+    show_dir = tmp_path / 'vis'
+    _run_tool('test.py', [f'{data_root}/imgs', tiny_cfg, ckpt,
+                          '--eval', 'mDice', '--aug-test',
+                          '--show-dir', show_dir,
+                          '--work-dir', tmp_path / 'wd'])
+    assert any(f.endswith('.png') for f in os.listdir(show_dir))
+    metrics = [f for f in os.listdir(tmp_path / 'wd') if f.endswith('.json')]
+    assert metrics
