@@ -66,7 +66,11 @@ def _flat_softmax(probs, labels, valid, classes, class_weight):
     labels = jnp.where(valid, labels, 0)
     losses = []
     weights = []
-    for c in range(num_classes):
+    # reference lovasz_softmax_flat: classes may be 'all'/'present' or an
+    # explicit class-id list restricting the average
+    class_to_sum = (list(classes) if isinstance(classes, (list, tuple))
+                    else range(num_classes))
+    for c in class_to_sum:
         fg = ((labels == c) & valid).astype(jnp.float32)
         errors = jnp.abs(fg - probs[:, c])
         errors = jnp.where(valid, errors, 0.0)  # tail, zero contribution
