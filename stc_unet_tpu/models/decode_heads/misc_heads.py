@@ -40,18 +40,32 @@ class EMAHead(BaseDecodeHead):
         feats = ConvModule(self.ema_channels, 1, act_cfg=None,
                            name='ema_mid_conv')(feats, train=train)
         b, h, w, c = feats.shape
-        bases = self.param(
-            'bases', nn.initializers.normal(1.0),
-            (1, self.num_bases, c), jnp.float32)
-        bases = bases / jnp.linalg.norm(bases, axis=-1, keepdims=True)
-        bases = jnp.broadcast_to(bases, (b, self.num_bases, c))
+        # reference ema_head.py:39-43 registers bases as a BUFFER (not a
+        # trainable param) updated by train-time EMA like BN stats — kept
+        # in batch_stats so the pjit train step syncs it cross-replica
+        def _init_bases():
+            init = jax.random.normal(jax.random.PRNGKey(0),
+                                     (1, self.num_bases, c), jnp.float32)
+            init = init * jnp.sqrt(2.0 / self.num_bases)
+            return init / jnp.linalg.norm(init, axis=-1, keepdims=True)
+        bases_var = self.variable('batch_stats', 'bases', _init_bases)
+        bases = jnp.broadcast_to(bases_var.value, (b, self.num_bases, c))
         flat = feats.reshape(b, h * w, c).astype(jnp.float32)
+        # EM iteration under stop_gradient (reference: torch.no_grad())
+        flat_ng = jax.lax.stop_gradient(flat)
         for _ in range(self.num_stages):
             attn = jax.nn.softmax(
-                jnp.einsum('bpc,bkc->bpk', flat, bases), axis=-1)
+                jnp.einsum('bpc,bkc->bpk', flat_ng, bases), axis=-1)
             attn_norm = attn / (1e-6 + attn.sum(axis=1, keepdims=True))
-            bases = jnp.einsum('bpk,bpc->bkc', attn_norm, flat)
+            bases = jnp.einsum('bpk,bpc->bkc', attn_norm, flat_ng)
             bases = bases / jnp.linalg.norm(bases, axis=-1, keepdims=True)
+        if train and not self.is_initializing():
+            # reference :68-73: EMA-average the (l2-normalized) batch bases
+            batch_bases = jnp.mean(bases, axis=0, keepdims=True)
+            batch_bases = batch_bases / jnp.linalg.norm(
+                batch_bases, axis=-1, keepdims=True)
+            bases_var.value = (1 - self.momentum) * bases_var.value + \
+                self.momentum * batch_bases
         recon = jnp.einsum('bpk,bkc->bpc', attn, bases).reshape(b, h, w, c)
         recon = nn.relu(recon.astype(x.dtype))
         recon = ConvModule(self.ema_channels, 1, act_cfg=None,

@@ -126,3 +126,39 @@ def test_segmenter_mask_head():
                             num_layers=1, num_heads=2, embed_dims=16,
                             in_index=0), SHAPE)
     assert out.shape == (1, 8, 8, 3)
+
+
+def test_ema_head_bases_buffer_updates_in_train():
+    """Reference ema_head registers bases as a BUFFER with train-time EMA
+    (ema_head.py:39-43,68-73): bases must live in batch_stats (synced by
+    the train step like BN) and move during training, stay fixed at eval."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from stc_unet_tpu.models.builder import build_head
+    head = build_head(dict(type='EMAHead', in_channels=16, channels=8,
+                           ema_channels=8, num_bases=4, num_stages=2,
+                           momentum=0.5, concat_input=False, in_index=0,
+                           num_classes=2, norm_cfg=dict(type='BN')))
+    feats = [jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 16),
+                         jnp.float32)]
+    variables = head.init(jax.random.PRNGKey(0), feats, train=True)
+    assert 'bases' in str(jax.tree_util.tree_structure(
+        variables['batch_stats']))
+    before = None
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            variables['batch_stats']):
+        if 'bases' in str(path):
+            before = np.asarray(leaf)
+    _, new_state = head.apply(variables, feats, train=True,
+                              mutable=['batch_stats'],
+                              rngs={'dropout': jax.random.PRNGKey(1)})
+    after = None
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            new_state['batch_stats']):
+        if 'bases' in str(path):
+            after = np.asarray(leaf)
+    assert before is not None and after is not None
+    assert not np.allclose(before, after)  # EMA moved
+    # eval: buffer untouched
+    _ = head.apply(variables, feats, train=False)
