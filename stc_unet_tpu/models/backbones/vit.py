@@ -123,7 +123,9 @@ class VisionTransformer(nn.Module):
         grid = pos_embed[:, 1:].reshape(1, side, side, self.embed_dims)
         if (h, w) != (side, side):
             from stc_unet_tpu.ops import resize
-            grid = resize(grid, size=(h, w), mode='bilinear',
+            # reference vit.py resize_pos_embed honors interpolate_mode
+            # (default 'bicubic')
+            grid = resize(grid, size=(h, w), mode=self.interpolate_mode,
                           align_corners=False, warning=False)
         pos = jnp.concatenate(
             [pos_embed[:, :1],

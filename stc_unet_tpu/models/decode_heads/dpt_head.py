@@ -106,9 +106,11 @@ class DPTHead(BaseDecodeHead):
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         x = self._transform_inputs(inputs)
-        x = ReassembleBlocks(self.embed_dims,
-                             tuple(self.post_process_channels),
-                             self.readout_type,
+        # reference dpt_head.py:253-255: expand_channels scales level i's
+        # post-process width by 2**i
+        ppc = tuple(int(c * 2 ** i) if self.expand_channels else int(c)
+                    for i, c in enumerate(self.post_process_channels))
+        x = ReassembleBlocks(self.embed_dims, ppc, self.readout_type,
                              name='reassemble_blocks')(x, train=train)
         x = [ConvModule(self.channels, 3, padding=1, act_cfg=None,
                         name=f'convs_{i}')(f, train=train)

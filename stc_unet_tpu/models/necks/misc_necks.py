@@ -25,8 +25,11 @@ class MultiLevelNeck(nn.Module):
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         assert len(inputs) == len(self.in_channels)
+        # reference multilevel_neck.py passes norm_cfg/act_cfg into both
+        # conv banks (defaults None — identity)
         inputs = [
-            ConvModule(self.out_channels, 1, act_cfg=None,
+            ConvModule(self.out_channels, 1, norm_cfg=self.norm_cfg,
+                       act_cfg=self.act_cfg,
                        name=f'lateral_convs_{i}')(x, train=train)
             for i, x in enumerate(inputs)
         ]
@@ -39,7 +42,8 @@ class MultiLevelNeck(nn.Module):
                 x_resize = resize(x_resize, size=(h, w), mode='bilinear',
                                   align_corners=False, warning=False)
             outs.append(ConvModule(
-                self.out_channels, 3, padding=1, act_cfg=None,
+                self.out_channels, 3, padding=1, norm_cfg=self.norm_cfg,
+                act_cfg=self.act_cfg,
                 name=f'convs_{i}')(x_resize, train=train))
         return outs
 

@@ -44,6 +44,55 @@ def _linear_coords(in_size: int, out_size: int, align_corners: bool):
 
 
 @functools.lru_cache(maxsize=256)
+def _cubic_matrix(in_size: int, out_size: int,
+                  align_corners: bool) -> np.ndarray:
+    """(in, out) bicubic interpolation matrix, torch semantics (Keys kernel
+    with a = -0.75, border-replicated taps). ≤4 nonzeros per column."""
+    a = -0.75
+
+    def w(t):
+        t = np.abs(t)
+        return np.where(
+            t <= 1, ((a + 2) * t - (a + 3)) * t * t + 1,
+            np.where(t < 2, (((t - 5) * t + 8) * t - 4) * a, 0.0))
+
+    i = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        src = i * (in_size - 1) / max(out_size - 1, 1)
+    else:
+        src = (i + 0.5) * (in_size / out_size) - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+    m = np.zeros((in_size, out_size), np.float64)
+    cols = np.arange(out_size)
+    for k in range(-1, 3):
+        idx = np.clip(i0 + k, 0, in_size - 1)
+        np.add.at(m, (idx, cols), w(k - frac))
+    return m.astype(np.float32)
+
+
+def _resize_axis_cubic(x: jax.Array, axis: int, out_size: int,
+                       align_corners: bool) -> jax.Array:
+    """1-D cubic resample along a spatial axis (same MXU-matmul form as
+    :func:`_resize_axis_linear`)."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    dtype = x.dtype
+    m = _cubic_matrix(in_size, out_size, align_corners)
+    if dtype == jnp.bfloat16:
+        operand, mat = x, jnp.asarray(m, jnp.bfloat16)
+    else:
+        operand = x.astype(jnp.float32) if dtype != jnp.float64 else x
+        mat = jnp.asarray(m, operand.dtype)
+    if axis == 1:
+        out = jnp.einsum('nhwc,hk->nkwc', operand, mat)
+    else:
+        out = jnp.einsum('nhwc,wk->nhkc', operand, mat)
+    return out.astype(dtype)
+
+
+@functools.lru_cache(maxsize=256)
 def _nearest_coords(in_size: int, out_size: int):
     """torch 'nearest' (legacy): src_idx = floor(i * in/out)."""
     i = np.arange(out_size, dtype=np.float64)
@@ -141,7 +190,7 @@ def resize(input: jax.Array,
         input: (N, H, W, C) array.
         size: target (H, W). Mutually exclusive with scale_factor.
         scale_factor: float or (sh, sw); output = floor(in * scale).
-        mode: 'bilinear' | 'nearest'.
+        mode: 'bilinear' | 'bicubic' | 'nearest'.
         align_corners: required semantics flag for bilinear (default False,
             as in torch); must be None for nearest.
         warning: emit the same alignment sanity warning as the reference.
@@ -183,6 +232,11 @@ def resize(input: jax.Array,
         ac = bool(align_corners)
         x = _resize_axis_linear(input, 1, out_h, ac)
         x = _resize_axis_linear(x, 2, out_w, ac)
+        return x
+    if mode == 'bicubic':
+        ac = bool(align_corners)
+        x = _resize_axis_cubic(input, 1, out_h, ac)
+        x = _resize_axis_cubic(x, 2, out_w, ac)
         return x
     raise ValueError(f'Unsupported resize mode: {mode}')
 

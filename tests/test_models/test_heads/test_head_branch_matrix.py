@@ -147,3 +147,20 @@ def test_enc_head_branches():
         out = head.apply(variables, feats, train=False)
         out = out[0] if isinstance(out, tuple) else out
         assert out.shape[-1] == 3
+
+
+def test_dpt_expand_channels_scales_widths():
+    """reference dpt_head.py:253-255: expand_channels multiplies level i's
+    post-process width by 2**i (param shapes must reflect it)."""
+    feats = [jnp.ones((1, 4, 4, 8)) for _ in range(4)]
+    head = build_head(dict(type='DPTHead', in_channels=(8, 8, 8, 8),
+                           channels=8, embed_dims=8,
+                           post_process_channels=[4, 4, 4, 4],
+                           expand_channels=True, num_classes=3,
+                           norm_cfg=dict(type='BN')))
+    variables = head.init(jax.random.PRNGKey(0), feats, train=True)
+    flat = jax.tree_util.tree_leaves_with_path(variables['params'])
+    widths = {str(p): l.shape for p, l in flat if 'projects' in str(p)
+              and 'kernel' in str(p) and 'readout' not in str(p)}
+    got = sorted(v[-1] for v in widths.values())
+    assert got == [4, 8, 16, 32], widths

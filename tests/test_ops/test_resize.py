@@ -77,3 +77,21 @@ def test_errors():
         resize(x)
     with pytest.raises(ValueError):
         resize(np.zeros((4, 4), np.float32), size=(2, 2))
+
+
+@pytest.mark.parametrize('ac', [False, True])
+@pytest.mark.parametrize('size', [(14, 18), (5, 4), (13, 11)])
+def test_bicubic_torch_parity(ac, size):
+    """Bicubic (Keys a=-0.75, border-replicated) vs F.interpolate — the
+    ViT pos-embed adaptation mode (reference vit.py interpolate_mode)."""
+    import torch
+    import torch.nn.functional as F
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 7, 9, 3).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                        size=size, mode='bicubic', align_corners=ac)
+    import jax.numpy as jnp
+    got = resize(jnp.asarray(x), size=size, mode='bicubic',
+                 align_corners=ac, warning=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                               ref.numpy(), rtol=1e-4, atol=1e-5)
