@@ -3,6 +3,7 @@
 Tiny shapes/channels keep CPU runs fast, as the reference does with
 _demo_mm_inputs (reference tests/test_models/test_segmentors/utils.py:11).
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -150,3 +151,35 @@ def test_encoder_decoder_full():
     assert any('loss' in k for k in losses)
     preds = model.simple_test(img, img_metas)
     assert preds[0].shape == (32, 32)
+
+
+def test_cascade_encoder_decoder_train_loss():
+    """CascadeEncoderDecoder forward_train aggregates per-stage decode
+    losses with stage prefixes (reference cascade_encoder_decoder.py:76)."""
+    cfg = dict(
+        type='CascadeEncoderDecoder',
+        num_stages=2,
+        backbone=dict(type='ResNet', depth=18, out_indices=(0, 1, 2, 3),
+                      stem_channels=8, base_channels=8),
+        decode_head=[
+            dict(type='FCNHead', in_channels=64, in_index=3, channels=8,
+                 num_convs=1, concat_input=False, num_classes=3,
+                 norm_cfg=dict(type='BN'),
+                 loss_decode=dict(type='CrossEntropyLoss')),
+            dict(type='OCRHead', in_channels=64, in_index=3, channels=8,
+                 ocr_channels=8, num_classes=3, norm_cfg=dict(type='BN'),
+                 loss_decode=dict(type='CrossEntropyLoss')),
+        ],
+        test_cfg=dict(mode='whole'))
+    model = build_segmentor(cfg)
+    model.init_weights(seed=0, input_size=(32, 32))
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    gt = np.random.RandomState(1).randint(0, 3, (1, 32, 32))
+    metas = [dict(ori_shape=(32, 32, 3), img_shape=(32, 32, 3),
+                  pad_shape=(32, 32, 3), scale_factor=1.0, flip=False)]
+    losses = model.forward_train(img, metas, gt_semantic_seg=gt)
+    keys = set(losses)
+    assert any('decode_0' in k for k in keys), keys
+    assert any('decode_1' in k for k in keys), keys
+    total = sum(float(jnp.mean(v)) for k, v in losses.items() if 'loss' in k)
+    assert np.isfinite(total)
