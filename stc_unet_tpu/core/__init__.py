@@ -6,7 +6,8 @@ from .optimizers import (OPTIMIZER_BUILDERS, OPTIMIZERS,
                          LayerDecayOptimizerConstructor,
                          LearningRateDecayOptimizerConstructor,
                          build_lr_schedule, build_optimizer,
-                         build_optimizer_tx, layer_decay_multipliers)
+                         build_optimizer_constructor, build_optimizer_tx,
+                         layer_decay_multipliers)
 from .seg import (PIXEL_SAMPLERS, BasePixelSampler, OHEMPixelSampler,
                   build_pixel_sampler)
 from .utils import add_prefix
@@ -16,7 +17,7 @@ __all__ = [
     'intersect_and_union', 'mean_dice', 'mean_fscore', 'mean_iou',
     'pre_eval_to_metrics', 'total_area_to_metrics',
     'total_intersect_and_union', 'OPTIMIZER_BUILDERS', 'OPTIMIZERS',
-    'build_lr_schedule', 'build_optimizer', 'build_optimizer_tx',
+    'build_lr_schedule', 'build_optimizer', 'build_optimizer_constructor', 'build_optimizer_tx',
     'LayerDecayOptimizerConstructor', 'LearningRateDecayOptimizerConstructor',
     'layer_decay_multipliers',
     'PIXEL_SAMPLERS', 'BasePixelSampler', 'OHEMPixelSampler',

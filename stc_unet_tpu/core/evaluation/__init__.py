@@ -1,3 +1,5 @@
+from stc_unet_tpu.engine.eval_hooks import DistEvalHook, EvalHook
+
 from .class_names import get_classes, get_palette
 from .surface_metrics import (average_surface_distance,
                               hausdorff_distance, hd95, overlap_ratio,
@@ -7,7 +9,7 @@ from .metrics import (eval_metrics, f_score, intersect_and_union, mean_dice,
                       total_area_to_metrics, total_intersect_and_union)
 
 __all__ = [
-    'get_classes', 'get_palette', 'eval_metrics', 'f_score',
+    'DistEvalHook', 'EvalHook', 'get_classes', 'get_palette', 'eval_metrics', 'f_score',
     'intersect_and_union', 'mean_dice', 'mean_fscore', 'mean_iou',
     'pre_eval_to_metrics', 'total_area_to_metrics',
     'total_intersect_and_union', 'average_surface_distance',

@@ -193,3 +193,33 @@ def build_optimizer(model_or_params, cfg: dict,
         v = model_or_params.variables
         params = v.get('params') if isinstance(v, dict) else None
     return build_optimizer_tx(cfg, schedule=schedule, params=params)
+
+
+def build_optimizer_constructor(cfg: dict):
+    """≙ reference ``core/builder.py`` ``build_optimizer_constructor``:
+    resolve a constructor cfg (``type`` + optimizer/paramwise cfgs) to a
+    ready-to-call constructor instance."""
+    cfg = dict(cfg)
+    ctype = cfg.pop('type')
+    from .layer_decay import (LayerDecayOptimizerConstructor,
+                              LearningRateDecayOptimizerConstructor)
+    table = {
+        'LearningRateDecayOptimizerConstructor':
+            LearningRateDecayOptimizerConstructor,
+        'LayerDecayOptimizerConstructor': LayerDecayOptimizerConstructor,
+    }
+    if ctype == 'DefaultOptimizerConstructor':
+        optimizer_cfg = cfg.get('optimizer_cfg', {})
+        paramwise_cfg = cfg.get('paramwise_cfg', None)
+
+        def default_ctor(params, schedule=None):
+            merged = dict(optimizer_cfg)
+            if paramwise_cfg:
+                merged['paramwise_cfg'] = paramwise_cfg
+            return build_optimizer_tx(merged, schedule=schedule,
+                                      params=params)
+        return default_ctor
+    if ctype not in table:
+        raise KeyError(f'unknown optimizer constructor {ctype}')
+    return table[ctype](cfg.get('optimizer_cfg', {}),
+                        cfg.get('paramwise_cfg', None))

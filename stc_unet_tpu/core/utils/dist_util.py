@@ -16,3 +16,11 @@ def sync_random_seed(seed=None, device=None) -> int:
         seed = int(multihost_utils.broadcast_one_to_all(
             np.asarray(seed, np.int64)))
     return seed
+
+
+def check_dist_init() -> bool:
+    """≙ reference ``core/utils/dist_util.py`` ``check_dist_init``:
+    torch ``dist.is_available() and dist.is_initialized()`` maps to
+    running with more than one jax process."""
+    import jax
+    return jax.process_count() > 1

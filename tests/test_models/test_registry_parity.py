@@ -108,3 +108,35 @@ def test_loss_functional_surface():
     for fn in ['accuracy', 'cross_entropy', 'binary_cross_entropy',
                'reduce_loss', 'weight_reduce_loss', 'weighted_loss']:
         assert hasattr(L, fn), fn
+
+
+def test_module_surface_name_parity():
+    """Every name in the reference's core/ops/utils/apis __all__ resolves
+    under the same module path here (so ``from mmseg.core.evaluation import
+    DistEvalHook``-style reference user code imports verbatim)."""
+    import importlib
+    surfaces = {
+        'core': ['OPTIMIZER_BUILDERS', 'build_optimizer',
+                 'build_optimizer_constructor'],
+        'core.evaluation': ['DistEvalHook', 'EvalHook', 'eval_metrics',
+                            'get_classes', 'get_palette',
+                            'intersect_and_union', 'mean_dice',
+                            'mean_fscore', 'mean_iou',
+                            'pre_eval_to_metrics'],
+        'core.seg': ['BasePixelSampler', 'OHEMPixelSampler',
+                     'build_pixel_sampler'],
+        'core.utils': ['add_prefix', 'check_dist_init', 'sync_random_seed'],
+        'ops': ['Encoding', 'Upsample', 'resize'],
+        'utils': ['build_ddp', 'build_dp', 'collect_env',
+                  'find_latest_checkpoint', 'get_device', 'get_root_logger',
+                  'setup_multi_processes'],
+        'apis': ['get_root_logger', 'inference_segmentor',
+                 'init_random_seed', 'init_segmentor', 'multi_gpu_test',
+                 'set_random_seed', 'show_result_pyplot', 'single_gpu_test',
+                 'train_segmentor'],
+    }
+    missing = []
+    for mod, names in surfaces.items():
+        m = importlib.import_module(f'stc_unet_tpu.{mod}')
+        missing += [f'{mod}.{n}' for n in names if not hasattr(m, n)]
+    assert missing == []
