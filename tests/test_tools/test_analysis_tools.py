@@ -196,3 +196,34 @@ def test_test_cli_aug_test_and_show_dir(tiny_cfg, tmp_path, monkeypatch):
     assert any(f.endswith('.png') for f in os.listdir(show_dir))
     metrics = [f for f in os.listdir(tmp_path / 'wd') if f.endswith('.json')]
     assert metrics
+
+
+def test_browse_dataset_cli(tiny_cfg, tmp_path):
+    """browse_dataset renders train-pipeline samples to --output-dir."""
+    from stc_unet_tpu.utils import Config
+    cfg = Config.fromfile(tiny_cfg)
+    # give the config a train split (reuses the test data dir)
+    train = dict(cfg.data.test)
+    train.pop('test_mode', None)
+    train['pipeline'] = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations'),
+        dict(type='Resize', img_scale=(32, 32), keep_ratio=False),
+        dict(type='RandomFlip', prob=0.0),
+        dict(type='Normalize', mean=[0, 0, 0], std=[255, 255, 255],
+             to_rgb=True),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+    ]
+    cfg.data['train'] = train
+    cfg_path = tmp_path / 'browse_cfg.py'
+    cfg_path.write_text(cfg.pretty_text if hasattr(cfg, 'pretty_text')
+                        else repr({k: cfg[k] for k in cfg.keys()}))
+    out = tmp_path / 'browse_out'
+    try:
+        _run_tool('browse_dataset.py', [cfg_path, '--output-dir', out,
+                                        '--show-number', 2])
+    except SystemExit as e:  # some tools sys.exit(0) at the end
+        assert not e.code
+    rendered = list(out.rglob('*.png')) + list(out.rglob('*.jpg'))
+    assert rendered, f'no rendered samples in {out}'
