@@ -49,3 +49,36 @@ def test_surface_metrics_dict():
     assert set(out) == {'HD', 'HD95', 'ASSD', 'RVD', 'VOE'}
     assert all(np.isfinite(v) for v in out.values())
     assert out['HD95'] <= out['HD'] + 1e-9
+
+
+def test_hd_and_assd_vs_scipy_oracle():
+    """Random blob masks: HD/HD95/ASSD must match a direct scipy EDT
+    computation of surface distances."""
+    from scipy import ndimage
+    rng = np.random.RandomState(3)
+    a = np.zeros((24, 24), bool)
+    b = np.zeros((24, 24), bool)
+    a[4:14, 6:18] = True
+    b[7:19, 4:15] = True
+
+    def surface(m):
+        er = ndimage.binary_erosion(m)
+        return m & ~er
+
+    def dists(src, dst):
+        dt = ndimage.distance_transform_edt(~surface(dst))
+        return dt[surface(src)]
+
+    d_ab, d_ba = dists(a, b), dists(b, a)
+    ref_hd = max(d_ab.max(), d_ba.max())
+    ref_assd = (d_ab.sum() + d_ba.sum()) / (len(d_ab) + len(d_ba))
+
+    got_hd = hausdorff_distance(a, b)
+    got_assd = average_surface_distance(a, b)
+    np.testing.assert_allclose(got_hd, ref_hd, rtol=1e-6)
+    np.testing.assert_allclose(got_assd, ref_assd, rtol=1e-6)
+
+    all_d = np.concatenate([d_ab, d_ba])
+    ref_hd95 = np.percentile(all_d, 95)
+    got_hd95 = hd95(a, b)
+    np.testing.assert_allclose(got_hd95, ref_hd95, rtol=1e-6)
