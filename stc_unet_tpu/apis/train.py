@@ -70,6 +70,23 @@ def train_segmentor(model, dataset, cfg, distributed=False, validate=False,
             rank=jax.process_index()) for ds in dataset
     ]
 
+    # on-device augmentation (BASELINE north star): finish each uint8 host
+    # batch with one jitted crop/flip/photometric/normalize program
+    if cfg.data.get('device_pipeline'):
+        from stc_unet_tpu.datasets import wrap_loader_with_device_pipeline
+        host_size = cfg.data.get('device_pipeline_size')
+        for i, (dl, ds) in enumerate(zip(data_loaders, dataset)):
+            try:
+                data_loaders[i] = wrap_loader_with_device_pipeline(
+                    dl, ds, cfg.data.train['pipeline'], host_size=host_size,
+                    seed=cfg.get('seed', 0) or 0)
+                logger.info('device_pipeline: on-device augmentation '
+                            'enabled for loader %d', i)
+            except ValueError as e:
+                warnings.warn(f'device_pipeline requested but the train '
+                              f'pipeline is not device-expressible ({e}); '
+                              'falling back to the host pipeline')
+
     mesh = default_data_mesh() if num_devices > 1 else None
 
     # schedule + optimizer compiled together (reference splits them into

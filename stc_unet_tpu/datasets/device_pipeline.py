@@ -23,13 +23,26 @@ import jax
 import jax.numpy as jnp
 
 
-def random_crop(rng, img, gt, crop_size: Tuple[int, int]):
-    """Uniform random crop of (img (B,H,W,C), gt (B,H,W)) to crop_size."""
+def random_crop(rng, img, gt, crop_size: Tuple[int, int], valid_hw=None):
+    """Uniform random crop of (img (B,H,W,C), gt (B,H,W)) to crop_size.
+
+    valid_hw (B, 2) int32: the un-padded extent of each sample — crop
+    offsets are bounded by it (exactly the reference's per-image bound,
+    ``transforms.py:596-599``), so host padding to a static shape does not
+    leak into the crop distribution.
+    """
     b, h, w, _ = img.shape
     ch, cw = crop_size
     ky, kx = jax.random.split(rng)
-    y0 = jax.random.randint(ky, (b,), 0, max(h - ch, 0) + 1)
-    x0 = jax.random.randint(kx, (b,), 0, max(w - cw, 0) + 1)
+    if valid_hw is None:
+        y0 = jax.random.randint(ky, (b,), 0, max(h - ch, 0) + 1)
+        x0 = jax.random.randint(kx, (b,), 0, max(w - cw, 0) + 1)
+    else:
+        # per-sample dynamic bound: floor(u * (extent+1)) ∈ [0, extent]
+        ymax = jnp.maximum(valid_hw[:, 0] - ch, 0)
+        xmax = jnp.maximum(valid_hw[:, 1] - cw, 0)
+        y0 = (jax.random.uniform(ky, (b,)) * (ymax + 1)).astype(jnp.int32)
+        x0 = (jax.random.uniform(kx, (b,)) * (xmax + 1)).astype(jnp.int32)
 
     def crop_one(im, g, y, x):
         im = jax.lax.dynamic_slice(im, (y, x, 0), (ch, cw, im.shape[-1]))
@@ -39,12 +52,17 @@ def random_crop(rng, img, gt, crop_size: Tuple[int, int]):
     return jax.vmap(crop_one)(img, gt, y0, x0)
 
 
-def random_flip(rng, img, gt, prob: float = 0.5):
-    """Per-sample horizontal flip."""
+def random_flip(rng, img, gt, prob: float = 0.5,
+                direction: str = 'horizontal'):
+    """Per-sample flip (horizontal or vertical)."""
     b = img.shape[0]
     flip = jax.random.bernoulli(rng, prob, (b,))
-    img = jnp.where(flip[:, None, None, None], img[:, :, ::-1, :], img)
-    gt = jnp.where(flip[:, None, None], gt[:, :, ::-1], gt)
+    if direction == 'horizontal':
+        img = jnp.where(flip[:, None, None, None], img[:, :, ::-1, :], img)
+        gt = jnp.where(flip[:, None, None], gt[:, :, ::-1], gt)
+    else:
+        img = jnp.where(flip[:, None, None, None], img[:, ::-1, :, :], img)
+        gt = jnp.where(flip[:, None, None], gt[:, ::-1, :], gt)
     return img, gt
 
 
@@ -86,23 +104,193 @@ def normalize(img, mean, std, to_rgb: bool = True):
 def make_device_train_pipeline(crop_size: Tuple[int, int],
                                mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
                                to_rgb: bool = True, flip_prob: float = 0.5,
+                               flip_direction: str = 'horizontal',
                                photo_metric: bool = True,
+                               photo_metric_cfg: Optional[dict] = None,
                                out_dtype=jnp.float32):
-    """Build ``fn(rng, img_u8, gt_u8) -> (img, gt)`` — one jitted program.
+    """Build ``fn(rng, img_u8, gt_u8[, valid_hw]) -> (img, gt)`` — one
+    jitted program.
 
-    img_u8 (B, H, W, 3) uint8 BGR; gt_u8 (B, H, W) uint8 labels.
+    img_u8 (B, H, W, 3) uint8 BGR; gt_u8 (B, H, W) uint8 labels;
+    valid_hw (B, 2) optional un-padded extents (see :func:`random_crop`).
     """
+    pm = dict(photo_metric_cfg or {})
 
-    @jax.jit
-    def pipeline(rng, img_u8, gt_u8):
+    @functools.partial(jax.jit, static_argnames=())
+    def pipeline(rng, img_u8, gt_u8, valid_hw=None):
         k1, k2, k3 = jax.random.split(rng, 3)
         img = img_u8.astype(jnp.float32)
         gt = gt_u8.astype(jnp.int32)
-        img, gt = random_crop(k1, img, gt, crop_size)
-        img, gt = random_flip(k2, img, gt, flip_prob)
+        if crop_size is not None:
+            img, gt = random_crop(k1, img, gt, crop_size, valid_hw)
+        img, gt = random_flip(k2, img, gt, flip_prob, flip_direction)
         if photo_metric:
-            img = photometric(k3, img)
+            img = photometric(k3, img, **pm)
         img = normalize(img, mean, std, to_rgb)
         return img.astype(out_dtype), gt
 
     return pipeline
+
+
+# ---------------------------------------------------------------------------
+# Wiring: split a configured host pipeline into (host prefix, device params)
+# and adapt a DataLoader so its batches finish on-device.  Enabled by
+# ``data = dict(..., device_pipeline=True)`` (see docs/train.md).
+# ---------------------------------------------------------------------------
+
+_DEVICE_TYPES = ('RandomCrop', 'RandomFlip', 'PhotoMetricDistortion',
+                 'Normalize')
+
+
+def split_train_pipeline(pipeline_cfg: Sequence[dict],
+                         host_size: Optional[Tuple[int, int]] = None):
+    """Split a train-pipeline cfg list into the host prefix + device params.
+
+    The device program takes over from the first RandomCrop/RandomFlip/
+    PhotoMetricDistortion/Normalize onward; trailing ``Pad`` (absorbed by
+    the static host shape), ``DefaultFormatBundle`` and ``Collect`` are
+    dropped (the device batch is already model-ready). Raises ValueError
+    for pipelines it cannot express — callers fall back to the host path.
+
+    host_size: static (H, W) the host pads every sample to. Inferred from
+    the prefix's ``Resize.img_scale`` when not given.
+    """
+    cfgs = [dict(c) for c in pipeline_cfg]
+    first_dev = next((i for i, c in enumerate(cfgs)
+                      if c['type'] in _DEVICE_TYPES), None)
+    if first_dev is None:
+        raise ValueError('no device-expressible transform in pipeline')
+    prefix, rest = cfgs[:first_dev], cfgs[first_dev:]
+
+    params = dict(crop_size=None, flip_prob=0.0,
+                  flip_direction='horizontal', photo_metric=False,
+                  photo_metric_cfg={}, mean=(0., 0., 0.), std=(1., 1., 1.),
+                  to_rgb=True)
+    crop_size = None
+    for c in rest:
+        t = c['type']
+        if t == 'RandomCrop':
+            crop_size = tuple(c['crop_size'])
+            params['crop_size'] = crop_size
+            # cat_max_ratio rejection-resampling is NOT replicated
+            # (documented delta: static device control flow)
+        elif t == 'RandomFlip':
+            params['flip_prob'] = c.get('prob', c.get('flip_ratio', 0.5)) or 0.0
+            params['flip_direction'] = c.get('direction', 'horizontal')
+            if params['flip_direction'] not in ('horizontal', 'vertical'):
+                raise ValueError('unsupported flip direction')
+        elif t == 'PhotoMetricDistortion':
+            params['photo_metric'] = True
+            pm = {}
+            if 'brightness_delta' in c:
+                pm['brightness_delta'] = c['brightness_delta']
+            if 'contrast_range' in c:
+                pm['contrast_range'] = tuple(c['contrast_range'])
+            if 'saturation_range' in c:
+                pm['saturation_range'] = tuple(c['saturation_range'])
+            params['photo_metric_cfg'] = pm
+        elif t == 'Normalize':
+            params['mean'] = tuple(c['mean'])
+            params['std'] = tuple(c['std'])
+            params['to_rgb'] = c.get('to_rgb', True)
+        elif t == 'Pad':
+            size = c.get('size')
+            if size is not None and crop_size is not None and \
+                    tuple(size) != tuple(crop_size):
+                raise ValueError('Pad size != crop size not supported '
+                                 'on-device')
+            # absorbed: host pads to the static shape, crop guarantees size
+        elif t in ('DefaultFormatBundle', 'Collect'):
+            pass  # device batches are already formatted
+        else:
+            raise ValueError(f'transform {t} not device-expressible')
+
+    if host_size is None:
+        for c in prefix:
+            if c['type'] == 'Resize' and c.get('img_scale') is not None:
+                if c.get('ratio_range') is not None:
+                    raise ValueError('ratio_range Resize needs an explicit '
+                                     'device_pipeline host_size')
+                scale = c['img_scale']
+                if isinstance(scale, (list, tuple)) and \
+                        isinstance(scale[0], (list, tuple)):
+                    host_size = (max(s[0] for s in scale),
+                                 max(s[1] for s in scale))
+                else:
+                    host_size = (max(scale), max(scale))
+    if host_size is None:
+        raise ValueError('cannot infer a static host size; set '
+                         'data.device_pipeline_size')
+    if crop_size is not None and (host_size[0] < crop_size[0]
+                                  or host_size[1] < crop_size[1]):
+        host_size = (max(host_size[0], crop_size[0]),
+                     max(host_size[1], crop_size[1]))
+
+    host_pipeline = prefix + [
+        dict(type='DeviceFormatBundle', size=tuple(host_size)),
+        dict(type='Collect', keys=['img', 'gt_semantic_seg', 'valid_hw'],
+             meta_keys=()),
+    ]
+    return host_pipeline, params
+
+
+class DeviceBatchLoader:
+    """Wrap a host :class:`DataLoader`: finish each uint8 batch on-device.
+
+    Yields batches whose ``img``/``gt_semantic_seg`` are device arrays
+    produced by the jitted augmentation program; the runner feeds them to
+    the train step without any further host work (``run_iter`` passes
+    jax arrays through).
+    """
+
+    def __init__(self, loader, device_params: dict, seed: int = 0,
+                 out_dtype=jnp.float32):
+        self.loader = loader
+        self.fn = make_device_train_pipeline(out_dtype=out_dtype,
+                                             **device_params)
+        self._rng = jax.random.PRNGKey(seed)
+        self._count = 0
+
+    def set_epoch(self, epoch: int):
+        if hasattr(self.loader, 'set_epoch'):
+            self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for batch in self.loader:
+            self._count += 1
+            rng = jax.random.fold_in(self._rng, self._count)
+            img, gt = self.fn(rng, jnp.asarray(batch['img']),
+                              jnp.asarray(batch['gt_semantic_seg']),
+                              jnp.asarray(batch['valid_hw']))
+            out = dict(batch)
+            out['img'] = img
+            out['gt_semantic_seg'] = gt
+            yield out
+
+
+def wrap_loader_with_device_pipeline(loader, dataset, pipeline_cfg,
+                                     host_size=None, seed: int = 0):
+    """Swap ``dataset``'s pipeline for the host prefix and wrap ``loader``.
+
+    Walks wrapper datasets (Repeat/Concat) to reach the CustomDataset(s).
+    Raises ValueError when the pipeline is not device-expressible.
+    """
+    from .pipelines import Compose
+    host_cfg, params = split_train_pipeline(pipeline_cfg, host_size)
+    stack = [dataset]
+    found = False
+    while stack:
+        ds = stack.pop()
+        if hasattr(ds, 'pipeline'):
+            ds.pipeline = Compose(host_cfg)
+            found = True
+        if hasattr(ds, 'dataset'):
+            stack.append(ds.dataset)
+        if hasattr(ds, 'datasets'):
+            stack.extend(ds.datasets)
+    if not found:
+        raise ValueError('no pipeline-bearing dataset found')
+    return DeviceBatchLoader(loader, params, seed=seed)

@@ -96,6 +96,51 @@ class DefaultFormatBundle:
 
 
 @PIPELINES.register_module()
+class DeviceFormatBundle:
+    """Host tail of the on-device augmentation path
+    (``datasets/device_pipeline.py``): pad img/gt to one static ``size``
+    and emit **uint8** arrays plus the un-padded ``valid_hw`` extent.
+
+    The device program (RandomCrop/RandomFlip/PhotoMetricDistortion/
+    Normalize fused in one jitted function) consumes the uint8 batch —
+    H2D traffic stays uint8 and every sample in an epoch shares one XLA
+    shape.
+    """
+
+    def __init__(self, size, pad_val=0, seg_pad_val=255):
+        self.size = tuple(size)
+        self.pad_val = pad_val
+        self.seg_pad_val = seg_pad_val
+
+    def _pad(self, arr, val):
+        h, w = arr.shape[:2]
+        ph, pw = max(self.size[0] - h, 0), max(self.size[1] - w, 0)
+        if ph == 0 and pw == 0:
+            return arr[:self.size[0], :self.size[1]]
+        pad = ((0, ph), (0, pw)) + ((0, 0),) * (arr.ndim - 2)
+        return np.pad(arr, pad, constant_values=val)[
+            :self.size[0], :self.size[1]]
+
+    def __call__(self, results):
+        img = results['img']
+        if img.ndim < 3:
+            img = np.expand_dims(img, -1)
+        results['valid_hw'] = np.asarray(
+            [min(img.shape[0], self.size[0]),
+             min(img.shape[1], self.size[1])], np.int32)
+        results['img'] = np.ascontiguousarray(
+            self._pad(img, self.pad_val).astype(np.uint8))
+        if 'gt_semantic_seg' in results:
+            results['gt_semantic_seg'] = np.ascontiguousarray(
+                self._pad(results['gt_semantic_seg'],
+                          self.seg_pad_val).astype(np.uint8))
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(size={self.size})'
+
+
+@PIPELINES.register_module()
 class ToDataContainer:
     """Name-parity no-op (reference ``formatting.py:140``).
 

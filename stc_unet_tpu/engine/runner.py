@@ -222,8 +222,12 @@ class BaseRunner:
 
     # -- core steps ----------------------------------------------------------
     def run_iter(self, data_batch, train_mode: bool):
-        img = np.ascontiguousarray(data_batch['img'])
-        gt = np.ascontiguousarray(data_batch['gt_semantic_seg'])
+        img = data_batch['img']
+        gt = data_batch['gt_semantic_seg']
+        if not isinstance(img, jax.Array):   # device-pipeline batches pass
+            img = np.ascontiguousarray(img)  # through without a host copy
+        if not isinstance(gt, jax.Array):
+            gt = np.ascontiguousarray(gt)
         if train_mode:
             self.state, log_vars = self._train_step(self.state, img, gt,
                                                     self.base_rng)

@@ -1,9 +1,11 @@
 """On-device fused preprocessing tests."""
 import jax
 import numpy as np
+import pytest
 
 from stc_unet_tpu.datasets.device_pipeline import (
-    make_device_train_pipeline, normalize, random_crop, random_flip)
+    DeviceBatchLoader, make_device_train_pipeline, normalize, random_crop,
+    random_flip, split_train_pipeline, wrap_loader_with_device_pipeline)
 
 
 def test_device_pipeline_shapes_and_determinism():
@@ -42,3 +44,156 @@ def test_normalize_matches_host():
     host = imnormalize(img.copy(), mean, std, to_rgb=True)
     dev = np.asarray(normalize(img[None], mean, std, to_rgb=True))[0]
     np.testing.assert_allclose(host, dev, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Wiring (cfg flag → host-prefix split → DeviceBatchLoader)
+# ---------------------------------------------------------------------------
+
+KITS_PIPELINE = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations'),
+    dict(type='Resize', img_scale=(600, 600)),
+    dict(type='RandomCrop', crop_size=(512, 512), cat_max_ratio=0.75),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='PhotoMetricDistortion'),
+    dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1], to_rgb=True),
+    dict(type='Pad', size=(512, 512), pad_val=0, seg_pad_val=255),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+]
+
+
+def test_split_train_pipeline_kits():
+    """The flagship pipeline splits into host prefix + device params."""
+    host_cfg, params = split_train_pipeline(KITS_PIPELINE)
+    types = [c['type'] for c in host_cfg]
+    assert types == ['LoadImageFromFile', 'LoadAnnotations', 'Resize',
+                     'DeviceFormatBundle', 'Collect']
+    assert host_cfg[3]['size'] == (600, 600)
+    assert params['crop_size'] == (512, 512)
+    assert params['flip_prob'] == 0.5
+    assert params['photo_metric'] is True
+    assert params['to_rgb'] is True
+
+
+def test_split_train_pipeline_rejects_unexpressible():
+    with pytest.raises(ValueError):
+        split_train_pipeline([dict(type='LoadImageFromFile'),
+                              dict(type='Collect', keys=['img'])])
+    bad = list(KITS_PIPELINE)
+    bad.insert(4, dict(type='RandomRotate', prob=1.0, degree=30))
+    with pytest.raises(ValueError):
+        split_train_pipeline(bad)
+
+
+def test_device_format_bundle_pads_and_records_extent():
+    from stc_unet_tpu.datasets import PIPELINES
+    bundle = PIPELINES.build(dict(type='DeviceFormatBundle', size=(16, 20)))
+    res = bundle(dict(img=np.ones((10, 12, 3), np.uint8) * 7,
+                      gt_semantic_seg=np.ones((10, 12), np.uint8)))
+    assert res['img'].shape == (16, 20, 3) and res['img'].dtype == np.uint8
+    assert res['gt_semantic_seg'].shape == (16, 20)
+    np.testing.assert_array_equal(res['valid_hw'], [10, 12])
+    assert res['img'][12, 3, 0] == 0            # img pad_val
+    assert res['gt_semantic_seg'][12, 3] == 255  # seg_pad_val
+
+
+def test_crop_respects_valid_extent():
+    """Crop offsets never reach into the host padding."""
+    img = np.zeros((6, 40, 40, 3), np.float32)
+    gt = np.full((6, 40, 40), 255, np.int32)
+    gt[:, :24, :28] = 1                      # valid region (24, 28)
+    valid = np.tile(np.array([[24, 28]], np.int32), (6, 1))
+    for seed in range(5):
+        _, cg = random_crop(jax.random.PRNGKey(seed), img, gt, (16, 16),
+                            jax.numpy.asarray(valid))
+        assert int(np.asarray(cg).max()) == 1, 'crop hit the padded region'
+
+
+def _host_equivalent(img_u8, y0, x0, flipped, crop, mean, std):
+    """Reference-semantics crop→flip→normalize in numpy (BGR→RGB)."""
+    ref = img_u8[y0:y0 + crop, x0:x0 + crop].astype(np.float32)
+    if flipped:
+        ref = ref[:, ::-1]
+    ref = ref[..., ::-1]
+    return (ref - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def test_device_pipeline_matches_host_semantics():
+    """photo_metric off: every device output equals a host-computed
+    crop→flip→normalize of the same sample (deltas only exist in the
+    photometric + cat_max_ratio stages)."""
+    rs = np.random.RandomState(3)
+    img = rs.randint(0, 255, (3, 24, 24, 3), dtype=np.uint8)
+    gt = rs.randint(0, 2, (3, 24, 24)).astype(np.uint8)
+    mean, std = [5.0, 6.0, 7.0], [2.0, 3.0, 4.0]
+    pipe = make_device_train_pipeline((16, 16), mean=mean, std=std,
+                                      to_rgb=True, flip_prob=0.5,
+                                      photo_metric=False)
+    out_img, out_gt = pipe(jax.random.PRNGKey(7), img, gt)
+    out_img, out_gt = np.asarray(out_img), np.asarray(out_gt)
+    for b in range(3):
+        matched = False
+        for y0 in range(9):
+            for x0 in range(9):
+                for flipped in (False, True):
+                    ref = _host_equivalent(img[b], y0, x0, flipped, 16,
+                                           mean, std)
+                    if np.allclose(ref, out_img[b], atol=1e-4):
+                        rg = gt[b, y0:y0 + 16, x0:x0 + 16].astype(np.int32)
+                        if flipped:
+                            rg = rg[:, ::-1]
+                        np.testing.assert_array_equal(rg, out_gt[b])
+                        matched = True
+        assert matched, f'sample {b}: no (crop, flip) explains the output'
+
+
+def test_wrap_loader_end_to_end(tmp_path):
+    """cfg-flag wiring: dataset pipeline swapped, loader yields device
+    batches with model-ready shapes/dtypes."""
+    import cv2
+    from stc_unet_tpu.datasets import build_dataloader, build_dataset
+    rs = np.random.RandomState(0)
+    (tmp_path / 'img').mkdir()
+    (tmp_path / 'ann').mkdir()
+    for i in range(4):
+        cv2.imwrite(str(tmp_path / 'img' / f's{i}.png'),
+                    rs.randint(0, 255, (40, 40, 3), dtype=np.uint8))
+        cv2.imwrite(str(tmp_path / 'ann' / f's{i}.png'),
+                    rs.randint(0, 2, (40, 40)).astype(np.uint8))
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations'),
+        dict(type='Resize', img_scale=(48, 48)),
+        dict(type='RandomCrop', crop_size=(32, 32)),
+        dict(type='RandomFlip', flip_ratio=0.5),
+        dict(type='Normalize', mean=[0, 0, 0], std=[255, 255, 255],
+             to_rgb=True),
+        dict(type='Pad', size=(32, 32)),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+    ]
+    ds = build_dataset(dict(type='CustomDataset', data_root=str(tmp_path),
+                            img_dir='img', ann_dir='ann',
+                            img_suffix='.png', seg_map_suffix='.png',
+                            classes=('bg', 'fg'),
+                            palette=[[0, 0, 0], [1, 1, 1]],
+                            pipeline=pipeline))
+    loader = build_dataloader(ds, samples_per_gpu=2, workers_per_gpu=0,
+                              dist=False, shuffle=True, seed=0)
+    wrapped = wrap_loader_with_device_pipeline(loader, ds, pipeline, seed=0)
+    assert isinstance(wrapped, DeviceBatchLoader)
+    batches = list(wrapped)
+    assert len(batches) == len(loader) == 2
+    for batch in batches:
+        img, gt = batch['img'], batch['gt_semantic_seg']
+        assert isinstance(img, jax.Array) and isinstance(gt, jax.Array)
+        assert img.shape == (2, 32, 32, 3) and img.dtype == 'float32'
+        assert gt.shape == (2, 32, 32)
+        assert float(jax.numpy.abs(img).max()) <= 1.0 + 1e-6
+        labels = set(np.unique(np.asarray(gt)))
+        assert labels <= {0, 1}   # 48x48 host size ≥ crop → no pad labels
+    # epoch reshuffle API passes through
+    wrapped.set_epoch(1)
+    assert len(list(wrapped)) == 2

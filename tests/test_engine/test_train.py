@@ -282,3 +282,54 @@ def test_spatial_sharded_train_step_matches_single(data_root):
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_train_segmentor_device_pipeline_flag(data_root, tmp_path):
+    """data.device_pipeline=True: loaders wrapped, training end-to-end."""
+    from stc_unet_tpu.apis import train_segmentor
+    from stc_unet_tpu.datasets import DeviceBatchLoader, build_dataset
+    cfg = _train_cfg(data_root, str(tmp_path / 'wd'), max_epochs=1)
+    cfg.data['device_pipeline'] = True
+    cfg.data.train['pipeline'] = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations'),
+        dict(type='Resize', img_scale=(32, 32), keep_ratio=False),
+        dict(type='RandomCrop', crop_size=(24, 24)),
+        dict(type='RandomFlip', prob=0.5),
+        dict(type='Normalize', mean=[0, 0, 0], std=[255, 255, 255],
+             to_rgb=True),
+        dict(type='Pad', size=(24, 24)),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+    ]
+    model = build_segmentor(cfg.model)
+    model.init_weights(seed=0)
+    dataset = build_dataset(cfg.data.train)
+    runner = train_segmentor(model, dataset, cfg)
+    assert isinstance(runner.data_loader, DeviceBatchLoader)
+    assert runner.iter == len(runner.data_loader)
+    assert os.path.exists(os.path.join(cfg.work_dir, 'latest.ckpt'))
+
+
+def test_train_segmentor_device_pipeline_fallback(data_root, tmp_path):
+    """Un-expressible pipeline (no static size) → warns, host path still
+    trains."""
+    import warnings as _w
+    from stc_unet_tpu.apis import train_segmentor
+    from stc_unet_tpu.datasets import DataLoader, build_dataset
+    cfg = _train_cfg(data_root, str(tmp_path / 'wd2'), max_epochs=1)
+    cfg.data['device_pipeline'] = True
+    # RandomRotate has no device implementation → must fall back
+    cfg.data.train['pipeline'] = (
+        cfg.data.train['pipeline'][:4] +
+        [dict(type='RandomRotate', prob=1.0, degree=10)] +
+        cfg.data.train['pipeline'][4:])
+    model = build_segmentor(cfg.model)
+    model.init_weights(seed=0)
+    dataset = build_dataset(cfg.data.train)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter('always')
+        runner = train_segmentor(model, dataset, cfg)
+    assert any('device-expressible' in str(r.message) for r in rec)
+    assert isinstance(runner.data_loader, DataLoader)
+    assert runner.iter == len(runner.data_loader)
