@@ -50,6 +50,52 @@ class MMsegHandler:
         return buf.getvalue()
 
 
+class ServeRequestHandler(BaseHTTPRequestHandler):
+    """GET /ping|/health → status json; POST (raw image bytes) → PNG mask.
+
+    The bound :class:`MMsegHandler` lives on the server object
+    (``server.mmseg_handler``) so the class is importable and testable
+    (≙ reference ``tools/torchserve/test_torchserve.py``).
+    """
+
+    def log_message(self, *args):  # quiet by default; tests capture codes
+        pass
+
+    def do_GET(self):
+        if self.path in ('/ping', '/health'):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b'{"status": "Healthy"}')
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def do_POST(self):
+        handler = self.server.mmseg_handler
+        try:
+            length = int(self.headers.get('Content-Length', 0))
+            data = self.rfile.read(length)
+            img = handler.preprocess(data)
+            result = handler.inference(img)
+            payload = handler.postprocess(result)
+            self.send_response(200)
+            self.send_header('Content-Type', 'image/png')
+            self.end_headers()
+            self.wfile.write(payload)
+        except Exception as e:
+            self.send_response(500)
+            self.end_headers()
+            self.wfile.write(str(e).encode())
+
+
+def make_server(handler: MMsegHandler, host: str = '0.0.0.0',
+                port: int = 8080) -> HTTPServer:
+    """Build the HTTP server (port 0 → ephemeral, for tests)."""
+    server = HTTPServer((host, port), ServeRequestHandler)
+    server.mmseg_handler = handler
+    return server
+
+
 def main():
     parser = argparse.ArgumentParser(description='Serve a segmentor')
     parser.add_argument('config')
@@ -60,34 +106,7 @@ def main():
 
     handler = MMsegHandler()
     handler.initialize(args.config, args.checkpoint)
-
-    class _H(BaseHTTPRequestHandler):
-        def do_GET(self):
-            if self.path in ('/ping', '/health'):
-                self.send_response(200)
-                self.end_headers()
-                self.wfile.write(b'{"status": "Healthy"}')
-            else:
-                self.send_response(404)
-                self.end_headers()
-
-        def do_POST(self):
-            try:
-                length = int(self.headers.get('Content-Length', 0))
-                data = self.rfile.read(length)
-                img = handler.preprocess(data)
-                result = handler.inference(img)
-                payload = handler.postprocess(result)
-                self.send_response(200)
-                self.send_header('Content-Type', 'image/png')
-                self.end_headers()
-                self.wfile.write(payload)
-            except Exception as e:  # pragma: no cover
-                self.send_response(500)
-                self.end_headers()
-                self.wfile.write(str(e).encode())
-
-    server = HTTPServer((args.host, args.port), _H)
+    server = make_server(handler, args.host, args.port)
     print(f'serving on {args.host}:{args.port}')
     server.serve_forever()
 
