@@ -33,7 +33,8 @@ import numpy as np
 BASELINE_SLICES_PER_SEC = 6.10  # V100 fp32, see module docstring
 BATCH = 14        # slide-mode sweet spot on v5e (see ROUND_NOTES)
 WHOLE_BATCH = 8   # whole-mode sweet spot
-TRAIN_BATCH = 4
+TRAIN_BATCH = 8  # sharp optimum: conv batch dim pads to 8 sublanes — B=4/6
+                 # waste half the padding, B=10 pads to 16 (round-3 sweep)
 WARMUP = 2
 ITERS = 10
 
@@ -128,14 +129,20 @@ def main():
 
         state, lv = step(state, timg, gt, rng)  # compile
         float(lv['loss'])
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
+        state, lv = step(state, timg, gt, rng)  # settle
+        float(lv['loss'])
+        # amortized readback (same protocol as _throughput): queue the
+        # steps asynchronously, bound the whole queue with one readback —
+        # per-call readback costs ~36 ms over the tunnel and is not the
+        # metric
+        iters = 6
+        t0 = time.perf_counter()
+        for _ in range(iters - 1):
             state, log_vars = step(state, timg, gt, rng)
-            float(log_vars['loss'])
-            times.append(time.perf_counter() - t0)
-        extras['train_img_per_sec'] = round(
-            TRAIN_BATCH / float(np.median(times)), 2)
+        state, log_vars = step(state, timg, gt, rng)
+        float(log_vars['loss'])
+        dt = (time.perf_counter() - t0) / iters
+        extras['train_img_per_sec'] = round(TRAIN_BATCH / dt, 2)
     except Exception as e:  # pragma: no cover
         extras['train_error'] = repr(e)[:200]
 

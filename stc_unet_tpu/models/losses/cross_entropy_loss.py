@@ -23,7 +23,13 @@ def cross_entropy(pred, label, weight=None, class_weight=None,
     valid = (label != ignore_index)
     safe = jnp.where(valid, label, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
-    loss = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    # one-hot contraction, NOT take_along_axis: XLA:TPU lowers the latter
+    # to a bitpacked per-pixel gather (30 ms/step on the 512² train step,
+    # the single largest op in the profile); the multiply-reduce fuses
+    # into the log_softmax stream for free. Same math.
+    num_classes = logp.shape[-1]
+    loss = -jnp.sum(
+        logp * jax.nn.one_hot(safe, num_classes, dtype=logp.dtype), axis=-1)
     if class_weight is not None:
         cw = jnp.asarray(class_weight, jnp.float32)
         loss = loss * cw[safe]

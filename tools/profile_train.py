@@ -43,6 +43,12 @@ def _force(out):
                               if leaf.ndim else leaf))
 
 
+
+def _emit(report):
+    import json as _json
+    print('PARTIAL ' + _json.dumps(report), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=4)
@@ -60,6 +66,10 @@ def main():
     model = build_segmentor(cfg)
     model.init_weights(seed=0, input_size=(64, 64))
     variables = jax.tree_util.tree_map(jnp.asarray, model.variables)
+    # donation inside the train step consumes whatever buffers the state
+    # aliases — every TrainState gets its own device copy
+    def _fresh_vars():
+        return jax.tree_util.tree_map(jnp.array, variables)
     model.variables = variables
     net = model.net
 
@@ -77,7 +87,7 @@ def main():
     report = {}
 
     # -- 1. full step (bench.py configuration) ---------------------------
-    state = TrainState.create(variables, tx)
+    state = TrainState.create(_fresh_vars(), tx)
     step = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
     newstate, lv = step(state, imgf, gt, rng)   # compile (donates state!)
     _force(lv['loss'])
@@ -90,6 +100,7 @@ def main():
         _force(lv['loss'])
         times.append(time.perf_counter() - t0)
     report['full_step_ms'] = round(float(np.median(times)) * 1e3, 1)
+    _emit(report)
 
     try:
         compiled = step.lower(newstate, imgf, gt, rng).compile()
@@ -99,6 +110,7 @@ def main():
         report['step_gbytes'] = round(ca.get('bytes accessed', 0) / 1e9, 2)
     except Exception as e:
         report['cost_err'] = repr(e)[:120]
+    _emit(report)
 
     # -- 2. forward+loss only (value, train=True) ------------------------
     def loss_only(variables, img, gt, rng):
@@ -109,6 +121,7 @@ def main():
     jloss = jax.jit(loss_only)
     report['fwd_loss_ms'] = round(
         _time(jloss, variables, imgf, gt, rng) * 1e3, 1)
+    _emit(report)
 
     # -- 3. value_and_grad (no optimizer / state plumbing) ---------------
     def vg(variables, img, gt, rng):
@@ -121,6 +134,7 @@ def main():
     jvg = jax.jit(vg)
     report['fwd_bwd_ms'] = round(
         _time(jvg, variables, imgf, gt, rng) * 1e3, 1)
+    _emit(report)
 
     # -- 4. eval-mode forward (the 99 TFLOP/s yardstick) ------------------
     @jax.jit
@@ -128,6 +142,7 @@ def main():
         return net.apply(variables, img, train=False)
     bimg = imgf.astype(jnp.bfloat16)
     report['fwd_eval_ms'] = round(_time(fwd_eval, variables, bimg) * 1e3, 1)
+    _emit(report)
 
     # -- 5. train-mode forward (BN batch stats + dropout rng) -------------
     @jax.jit
@@ -138,6 +153,7 @@ def main():
         return outs['decode']
     report['fwd_train_ms'] = round(
         _time(fwd_train, variables, bimg, rng) * 1e3, 1)
+    _emit(report)
 
     # -- 6. loss math alone on fixed logits -------------------------------
     logits = fwd_train(variables, bimg, rng)
@@ -148,6 +164,7 @@ def main():
         d = head.loss_by_feat(logits, gt)
         return sum(jnp.mean(v) for k, v in d.items() if 'loss' in k)
     report['loss_math_ms'] = round(_time(loss_math, logits, gt) * 1e3, 2)
+    _emit(report)
 
     # -- 7. optimizer update alone ----------------------------------------
     _, grads = jvg(variables, imgf, gt, rng)
@@ -157,12 +174,13 @@ def main():
         import optax
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         return optax.apply_updates(state.params, updates), new_opt
-    state2 = TrainState.create(variables, tx)
+    state2 = TrainState.create(_fresh_vars(), tx)
     report['opt_update_ms'] = round(_time(opt_only, state2, grads) * 1e3, 2)
+    _emit(report)
 
     # -- 8. remat variant --------------------------------------------------
     try:
-        state3 = TrainState.create(variables, tx)
+        state3 = TrainState.create(_fresh_vars(), tx)
         step_r = make_train_step(model, tx, compute_dtype=jnp.bfloat16,
                                  remat=True)
         s3, lv3 = step_r(state3, imgf, gt, rng)
@@ -174,16 +192,23 @@ def main():
             _force(lv3['loss'])
             times.append(time.perf_counter() - t0)
         report['full_step_remat_ms'] = round(float(np.median(times)) * 1e3, 1)
+        _emit(report)
     except Exception as e:
         report['remat_err'] = repr(e)[:120]
 
+    del grads, state2
+    try:
+        del s3, state3, lv3
+    except NameError:
+        pass
+    del newstate, lv, state
     # -- batch sweep -------------------------------------------------------
     if args.sweep_batch:
         for b in (8, 16, 24):
             im = jnp.asarray(np.random.RandomState(1).rand(b, 512, 512, 3),
                              jnp.float32)
             g = jnp.asarray((np.asarray(im).mean(-1) > 0.5).astype(np.int32))
-            st = TrainState.create(variables, tx)
+            st = TrainState.create(_fresh_vars(), tx)
             stp = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
             try:
                 st, l = stp(st, im, g, rng)
@@ -199,6 +224,12 @@ def main():
                 report[f'step_b{b}_img_s'] = round(b / (ms / 1e3), 2)
             except Exception as e:
                 report[f'b{b}_err'] = repr(e)[:120]
+            _emit(report)
+            del st, stp
+            try:
+                del l
+            except NameError:
+                pass
 
     if args.trace:
         import os
