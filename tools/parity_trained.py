@@ -1,0 +1,212 @@
+"""Checkpoint parity at NON-TRIVIAL accuracy (VERDICT r2 item 3, part 2).
+
+r2's PARITY_KITS.json evaluated a converted *untrained* model (mDice
+0.45). This tool trains the full-width STC-UNet to >0.9 Dice on a
+learnable pseudo-KiTS fixture through the REAL CLI (``tools/train.py``),
+evaluates the trained checkpoint through ``tools/test.py``, then converts
+the trained jax weights BACK to torch (the reverse of
+``utils/torch_convert.py``) and evaluates them with the torch oracle —
+both directions of the conversion, at real accuracy.
+
+It also runs the train CLI twice — host input pipeline vs
+``data.device_pipeline=True`` — and reports the logged ``data_time``
+(VERDICT item 4: device-pipeline input-overlap measurement on the real
+chip).
+
+    python tools/parity_trained.py --out PARITY_KITS_TRAINED.json
+        [--size 512] [--epochs 8] [--train-imgs 32] [--platform '']
+"""
+from __future__ import annotations
+
+import os.path as _osp
+import sys as _sys
+
+_repo = _osp.dirname(_osp.dirname(_osp.abspath(__file__)))
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+
+import argparse
+import json
+import os
+import re
+import runpy
+import tempfile
+
+
+def build_learnable_kits(root: str, n_train: int, n_test: int, size: int):
+    """Pseudo-KiTS where the label IS visible in the image: a bright
+    elliptical 'kidney' blob on a noisy dark background."""
+    import numpy as np
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    for split, n in (('train', n_train), ('test', n_test)):
+        os.makedirs(f'{root}/{split}/images', exist_ok=True)
+        os.makedirs(f'{root}/{split}/labels', exist_ok=True)
+        for i in range(n):
+            yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+            cy, cx = rng.randint(size // 4, 3 * size // 4, 2)
+            ry = rng.randint(size // 8, size // 4)
+            rx = rng.randint(size // 8, size // 4)
+            blob = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2) < 1.0
+            img = rng.rand(size, size).astype(np.float32) * 0.35
+            img[blob] += 0.45 + 0.1 * rng.rand()
+            img = np.clip(img + rng.randn(size, size) * 0.05, 0, 1)
+            rgb = (np.stack([img] * 3, -1) * 255).astype(np.uint8)
+            Image.fromarray(rgb).save(
+                f'{root}/{split}/images/case_{i:05d}.png')
+            Image.fromarray(blob.astype(np.uint8)).save(
+                f'{root}/{split}/labels/case_{i:05d}.png')
+
+
+def jax_to_torch_state(variables) -> dict:
+    """Trained flax variables → torch state_dict (inverse of
+    ``utils/torch_convert.py``: HWIO→OIHW, (in,out)→(out,in), batch_stats
+    → running_mean/var)."""
+    import numpy as np
+    import torch
+    from stc_unet_tpu.utils.torch_convert import translate_key, _transform
+    from tests.fixtures.torch_stc_unet import _TorchSTCUNet
+
+    def leaf(tree, path):
+        node = tree
+        for p in path:
+            node = node[p]
+        return np.asarray(node)
+
+    tm = _TorchSTCUNet(stc=True, ch=[64, 128, 256, 512],
+                       dec=[1024, 512, 256, 128, 64])
+    head_names = ('up1', 'up2', 'up3', 'up4', 'conv_seg')
+    sd = {}
+    for tkey, tval in tm.state_dict().items():
+        if tkey.endswith('num_batches_tracked'):
+            sd[tkey] = tval
+            continue
+        # translate_key expects the fork's checkpoint prefixes
+        prefix = 'decode_head' if tkey.startswith(head_names) else 'backbone'
+        path, tag = translate_key(f'{prefix}.{tkey}')
+        tree = variables['batch_stats'] if tag == 'bn_stat' else \
+            variables['params']
+        v = leaf(tree, path)
+        if tag == 'conv_w':
+            v = np.transpose(v, (3, 2, 0, 1))
+        elif tag == 'linear_w':
+            v = np.transpose(v, (1, 0))
+        assert tuple(v.shape) == tuple(tval.shape), \
+            f'{tkey}: {v.shape} vs {tval.shape}'
+        sd[tkey] = torch.from_numpy(np.ascontiguousarray(v))
+    return sd
+
+
+def write_cfg(path: str, data_root: str, epochs: int, batch: int,
+              device_pipeline: bool):
+    cfg = f'''
+_base_ = [{_osp.join(_repo, 'my_config', 'STC-UNet.py')!r}]
+data = dict(samples_per_gpu={batch}, workers_per_gpu=2,
+            device_pipeline={device_pipeline},
+            train=dict(data_root={data_root!r}),
+            val=dict(data_root={data_root!r}),
+            test=dict(data_root={data_root!r}))
+optimizer = dict(type='Adam', lr=3e-4, betas=(0.9, 0.999))
+runner = dict(type='EpochBasedRunner', max_epochs={epochs})
+checkpoint_config = dict(by_epoch=True, interval={epochs},
+                         save_optimizer=False)
+evaluation = dict(interval={epochs + 1}, metric=['mDice'])
+log_config = dict(interval=1, hooks=[dict(type='TextLoggerHook')])
+bf16 = True
+'''
+    with open(path, 'w') as f:
+        f.write(cfg)
+
+
+def mean_data_time(log_dir: str) -> float:
+    """Mean data_time over the later iterations of the newest json log."""
+    logs = sorted(f for f in os.listdir(log_dir) if f.endswith('.log.json'))
+    times = []
+    with open(os.path.join(log_dir, logs[-1])) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get('mode') == 'train' and 'data_time' in rec:
+                times.append(float(rec['data_time']))
+    tail = times[max(2, len(times) // 4):]
+    return sum(tail) / max(len(tail), 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--size', type=int, default=512)
+    ap.add_argument('--train-imgs', type=int, default=32)
+    ap.add_argument('--test-imgs', type=int, default=8)
+    ap.add_argument('--epochs', type=int, default=15)
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--out', default='PARITY_KITS_TRAINED.json')
+    ap.add_argument('--platform', default='',
+                    help="'' = default (TPU when present)")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
+
+    work = tempfile.mkdtemp(prefix='parity_trained_')
+    data_root = os.path.join(work, 'ds')
+    build_learnable_kits(data_root, args.train_imgs, args.test_imgs,
+                         args.size)
+    result = dict(size=args.size, epochs=args.epochs, batch=args.batch)
+
+    # -- train through the real CLI, host pipeline then device pipeline --
+    for tag, devpipe in (('host', False), ('device', True)):
+        cfg_path = os.path.join(work, f'cfg_{tag}.py')
+        wd = os.path.join(work, f'wd_{tag}')
+        write_cfg(cfg_path, data_root, args.epochs, args.batch, devpipe)
+        _sys.argv = ['tools/train.py', cfg_path, '--work-dir', wd,
+                     '--no-validate', '--seed', '0']
+        print(f'== training ({tag} pipeline) ==', flush=True)
+        runpy.run_path(os.path.join(_repo, 'tools', 'train.py'),
+                       run_name='__main__')
+        result[f'data_time_{tag}_s'] = round(mean_data_time(wd), 4)
+    result['ckpt'] = os.path.join(work, 'wd_device', 'latest.ckpt')
+
+    # -- evaluate the trained ckpt through the real test CLI -------------
+    json_dir = os.path.join(work, 'metrics')
+    _sys.argv = ['tools/test.py', f'{data_root}/test/images',
+                 os.path.join(work, 'cfg_device.py'), result['ckpt'],
+                 '--eval', 'mIoU', 'mDice', '--work-dir', json_dir]
+    runpy.run_path(os.path.join(_repo, 'tools', 'test.py'),
+                   run_name='__main__')
+    metric_files = sorted(os.listdir(json_dir))
+    with open(os.path.join(json_dir, metric_files[-1])) as f:
+        jax_metrics = json.load(f)['metric']
+    result['jax'] = {k: float(jax_metrics[k]) for k in ('mIoU', 'mDice')}
+
+    # -- reverse-convert and evaluate with the torch oracle --------------
+    import torch
+    from stc_unet_tpu.engine.checkpoint import load_checkpoint_file
+    from tests.fixtures.torch_stc_unet import _TorchSTCUNet
+    from tools.parity_eval import torch_side_eval
+    blob = load_checkpoint_file(result['ckpt'])
+    sd = jax_to_torch_state(blob['variables'])
+    tm = _TorchSTCUNet(stc=True, ch=[64, 128, 256, 512],
+                       dec=[1024, 512, 256, 128, 64])
+    tm.load_state_dict(sd)
+    tm = tm.eval()
+    torch_metrics, _ = torch_side_eval(tm, data_root, args.test_imgs,
+                                       args.size)
+    result['torch'] = torch_metrics
+    result['abs_delta'] = {
+        k: abs(result['jax'][k] - torch_metrics[k])
+        for k in ('mIoU', 'mDice')}
+    result['trained_above_0p9_dice'] = result['jax']['mDice'] > 0.9
+    result['parity_within_0p1pct'] = all(
+        d <= 1e-3 for d in result['abs_delta'].values())
+    with open(args.out, 'w') as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+    assert result['trained_above_0p9_dice'], 'model failed to train to 0.9'
+    assert result['parity_within_0p1pct'], 'trained-ckpt parity > 0.1%!'
+
+
+if __name__ == '__main__':
+    main()
