@@ -6,6 +6,8 @@ from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
+import math
+
 import jax.numpy as jnp
 
 from ..bricks import BatchNorm, Conv2d, avg_pool2d
@@ -29,7 +31,9 @@ class GroupBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        width = int(jnp.floor(
+        # static python math, not jnp: under jit this shape computation
+        # must stay concrete (math.floor ≙ torch's int(planes*(bw/bc)))
+        width = int(math.floor(
             self.planes * (self.base_width / self.base_channels))
         ) * self.groups
         if self.style == 'pytorch':
@@ -145,7 +149,9 @@ class SplitBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        width = int(jnp.floor(
+        # static python math, not jnp: under jit this shape computation
+        # must stay concrete (math.floor ≙ torch's int(planes*(bw/bc)))
+        width = int(math.floor(
             self.planes * (self.base_width / self.base_channels))
         ) * self.groups
         identity = x
