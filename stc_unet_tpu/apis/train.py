@@ -75,14 +75,28 @@ def train_segmentor(model, dataset, cfg, distributed=False, validate=False,
     if cfg.data.get('device_pipeline'):
         from stc_unet_tpu.datasets import wrap_loader_with_device_pipeline
         host_size = cfg.data.get('device_pipeline_size')
+
+        def _find_pipeline(dcfg):
+            """Resolve the pipeline through wrapper-dataset cfgs
+            (RepeatDataset/ConcatDataset/MultiImageMix nesting)."""
+            if isinstance(dcfg, (list, tuple)):
+                dcfg = dcfg[0]
+            if 'pipeline' in dcfg:
+                return dcfg['pipeline']
+            if 'dataset' in dcfg:
+                return _find_pipeline(dcfg['dataset'])
+            if 'datasets' in dcfg:
+                return _find_pipeline(dcfg['datasets'])
+            raise ValueError('no pipeline found in data.train cfg')
+
         for i, (dl, ds) in enumerate(zip(data_loaders, dataset)):
             try:
                 data_loaders[i] = wrap_loader_with_device_pipeline(
-                    dl, ds, cfg.data.train['pipeline'], host_size=host_size,
-                    seed=cfg.get('seed', 0) or 0)
+                    dl, ds, _find_pipeline(cfg.data.train),
+                    host_size=host_size, seed=cfg.get('seed', 0) or 0)
                 logger.info('device_pipeline: on-device augmentation '
                             'enabled for loader %d', i)
-            except ValueError as e:
+            except (ValueError, KeyError) as e:
                 warnings.warn(f'device_pipeline requested but the train '
                               f'pipeline is not device-expressible ({e}); '
                               'falling back to the host pipeline')

@@ -11,8 +11,9 @@ transforms the author's config uses (RandomCrop, RandomFlip,
 PhotoMetricDistortion-lite, Normalize, Pad) with two documented deltas:
 - crop rejection (cat_max_ratio) is not resampled — device control flow
   must be static; the crop is uniform random.
-- hue/saturation jitter operates in RGB via channel scaling rather than an
-  HSV round-trip (cv2 HSV is host-only); brightness/contrast match.
+- hue/saturation jitter operates in RGB (saturation = lerp toward gray,
+  hue = rotation about the gray axis) rather than an HSV round-trip
+  (cv2 HSV is host-only); brightness/contrast match.
 """
 from __future__ import annotations
 
@@ -67,10 +68,18 @@ def random_flip(rng, img, gt, prob: float = 0.5,
 
 
 def photometric(rng, img, brightness_delta: float = 32.0,
-                contrast_range=(0.5, 1.5), saturation_range=(0.5, 1.5)):
-    """Brightness/contrast/saturation jitter on float images in [0, 255]."""
+                contrast_range=(0.5, 1.5), saturation_range=(0.5, 1.5),
+                hue_delta: float = 18.0):
+    """Brightness/contrast/saturation/hue jitter on float images in
+    [0, 255] (reference ``PhotoMetricDistortion``, each op p=0.5).
+
+    Hue is approximated in RGB: a rotation about the gray axis
+    (1,1,1)/sqrt(3) by the HSV hue angle (cv2 hue units, 180 = full
+    circle) — no HSV round-trip on device. Documented delta vs the host
+    transform.
+    """
     b = img.shape[0]
-    kb, kbm, kc, kcm, ks, ksm = jax.random.split(rng, 6)
+    kb, kbm, kc, kcm, ks, ksm, kh, khm = jax.random.split(rng, 8)
     img = img.astype(jnp.float32)
     # brightness (p=0.5)
     delta = jax.random.uniform(kb, (b, 1, 1, 1), minval=-brightness_delta,
@@ -89,6 +98,24 @@ def photometric(rng, img, brightness_delta: float = 32.0,
     do_s = jax.random.bernoulli(ksm, 0.5, (b, 1, 1, 1))
     gray = img.mean(axis=-1, keepdims=True)
     img = jnp.where(do_s, gray + (img - gray) * sat, img)
+    # hue (p=0.5): Rodrigues rotation of the color vector about the gray
+    # axis; theta maps cv2's [0,180) hue circle onto [0, 2*pi)
+    if hue_delta:
+        theta = jax.random.uniform(kh, (b, 1, 1),
+                                   minval=-hue_delta, maxval=hue_delta) \
+            * (2.0 * jnp.pi / 180.0)
+        do_h = jax.random.bernoulli(khm, 0.5, (b, 1, 1, 1))
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+        mean = img.mean(axis=-1, keepdims=True)
+        centered = img - mean
+        # rotation about (1,1,1)/sqrt(3): for zero-mean color vectors the
+        # aa^T term vanishes, leaving cos*v + sin*(a x v)
+        inv_sqrt3 = 1.0 / jnp.sqrt(3.0)
+        cx, cy, cz = (centered[..., 0], centered[..., 1], centered[..., 2])
+        crossed = jnp.stack([cy - cz, cz - cx, cx - cy], -1) * inv_sqrt3
+        rotated = mean + cos[..., None] * centered + \
+            sin[..., None] * crossed
+        img = jnp.where(do_h, rotated, img)
     return jnp.clip(img, 0.0, 255.0)
 
 
@@ -166,6 +193,7 @@ def split_train_pipeline(pipeline_cfg: Sequence[dict],
                   flip_direction='horizontal', photo_metric=False,
                   photo_metric_cfg={}, mean=(0., 0., 0.), std=(1., 1., 1.),
                   to_rgb=True)
+    pad_vals = dict(pad_val=0, seg_pad_val=255)
     crop_size = None
     for c in rest:
         t = c['type']
@@ -188,6 +216,8 @@ def split_train_pipeline(pipeline_cfg: Sequence[dict],
                 pm['contrast_range'] = tuple(c['contrast_range'])
             if 'saturation_range' in c:
                 pm['saturation_range'] = tuple(c['saturation_range'])
+            if 'hue_delta' in c:
+                pm['hue_delta'] = c['hue_delta']
             params['photo_metric_cfg'] = pm
         elif t == 'Normalize':
             params['mean'] = tuple(c['mean'])
@@ -199,7 +229,10 @@ def split_train_pipeline(pipeline_cfg: Sequence[dict],
                     tuple(size) != tuple(crop_size):
                 raise ValueError('Pad size != crop size not supported '
                                  'on-device')
-            # absorbed: host pads to the static shape, crop guarantees size
+            # absorbed: host pads to the static shape, crop guarantees
+            # size — but the configured pad values must carry over
+            pad_vals['pad_val'] = c.get('pad_val', 0)
+            pad_vals['seg_pad_val'] = c.get('seg_pad_val', 255)
         elif t in ('DefaultFormatBundle', 'Collect'):
             pass  # device batches are already formatted
         else:
@@ -212,12 +245,20 @@ def split_train_pipeline(pipeline_cfg: Sequence[dict],
                     raise ValueError('ratio_range Resize needs an explicit '
                                      'device_pipeline host_size')
                 scale = c['img_scale']
-                if isinstance(scale, (list, tuple)) and \
-                        isinstance(scale[0], (list, tuple)):
-                    host_size = (max(s[0] for s in scale),
-                                 max(s[1] for s in scale))
+                scales = scale if (isinstance(scale, (list, tuple)) and
+                                   isinstance(scale[0], (list, tuple))) \
+                    else [scale]
+                if c.get('keep_ratio', True):
+                    # aspect-preserving rescale: either image dim can
+                    # reach max(scale) — use the square safe bound
+                    m = max(max(s) for s in scales)
+                    host_size = (m, m)
                 else:
-                    host_size = (max(scale), max(scale))
+                    # exact resize to img_scale, which is (w, h)
+                    # (``transforms.py`` Resize contract) — host_size is
+                    # (H, W)
+                    host_size = (max(s[1] for s in scales),
+                                 max(s[0] for s in scales))
     if host_size is None:
         raise ValueError('cannot infer a static host size; set '
                          'data.device_pipeline_size')
@@ -227,7 +268,7 @@ def split_train_pipeline(pipeline_cfg: Sequence[dict],
                      max(host_size[1], crop_size[1]))
 
     host_pipeline = prefix + [
-        dict(type='DeviceFormatBundle', size=tuple(host_size)),
+        dict(type='DeviceFormatBundle', size=tuple(host_size), **pad_vals),
         dict(type='Collect', keys=['img', 'gt_semantic_seg', 'valid_hw'],
              meta_keys=()),
     ]

@@ -114,12 +114,20 @@ class DeviceFormatBundle:
 
     def _pad(self, arr, val):
         h, w = arr.shape[:2]
-        ph, pw = max(self.size[0] - h, 0), max(self.size[1] - w, 0)
+        if h > self.size[0] or w > self.size[1]:
+            # never truncate silently: a sample larger than the static
+            # size means device_pipeline_size (or the inferred host size)
+            # is misconfigured, and cropping here would skew the crop
+            # distribution vs the host pipeline
+            raise ValueError(
+                f'DeviceFormatBundle: sample {(h, w)} exceeds the static '
+                f'host size {self.size}; set data.device_pipeline_size '
+                f'to at least the largest Resize output')
+        ph, pw = self.size[0] - h, self.size[1] - w
         if ph == 0 and pw == 0:
-            return arr[:self.size[0], :self.size[1]]
+            return arr
         pad = ((0, ph), (0, pw)) + ((0, 0),) * (arr.ndim - 2)
-        return np.pad(arr, pad, constant_values=val)[
-            :self.size[0], :self.size[1]]
+        return np.pad(arr, pad, constant_values=val)
 
     def __call__(self, results):
         img = results['img']

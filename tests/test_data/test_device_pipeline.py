@@ -197,3 +197,129 @@ def test_wrap_loader_end_to_end(tmp_path):
     # epoch reshuffle API passes through
     wrapped.set_epoch(1)
     assert len(list(wrapped)) == 2
+
+
+# ---------------------------------------------------------------------------
+# Round-3 review regressions
+# ---------------------------------------------------------------------------
+
+def test_host_size_respects_wh_scale_convention():
+    """Resize img_scale is (w, h); keep_ratio=False must produce an
+    (H, W) host size, not a transposed one (review finding 1)."""
+    pipe = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations'),
+        dict(type='Resize', img_scale=[(100, 40), (80, 40)],
+             keep_ratio=False, multiscale_mode='value'),
+        dict(type='RandomCrop', crop_size=(32, 32)),
+        dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1]),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+    ]
+    host_cfg, _ = split_train_pipeline(pipe)
+    bundle = next(c for c in host_cfg if c['type'] == 'DeviceFormatBundle')
+    assert bundle['size'] == (40, 100)  # (H, W)
+    # keep_ratio=True: either dim can reach max(scale) → square bound
+    pipe[2] = dict(type='Resize', img_scale=(100, 40), keep_ratio=True)
+    host_cfg, _ = split_train_pipeline(pipe)
+    bundle = next(c for c in host_cfg if c['type'] == 'DeviceFormatBundle')
+    assert bundle['size'] == (100, 100)
+
+
+def test_device_format_bundle_refuses_oversize():
+    """Samples larger than the static size raise instead of silently
+    cropping (review finding 3)."""
+    from stc_unet_tpu.datasets import PIPELINES
+    bundle = PIPELINES.build(dict(type='DeviceFormatBundle', size=(16, 16)))
+    with pytest.raises(ValueError, match='exceeds the static host size'):
+        bundle(dict(img=np.zeros((20, 10, 3), np.uint8)))
+
+
+def test_split_carries_pad_values():
+    """Pad(pad_val, seg_pad_val) forward into DeviceFormatBundle
+    (review finding 5)."""
+    pipe = list(KITS_PIPELINE)
+    pipe[7] = dict(type='Pad', size=(512, 512), pad_val=128, seg_pad_val=0)
+    host_cfg, _ = split_train_pipeline(pipe)
+    bundle = next(c for c in host_cfg if c['type'] == 'DeviceFormatBundle')
+    assert bundle['pad_val'] == 128 and bundle['seg_pad_val'] == 0
+
+
+def test_photometric_hue_jitter_active():
+    """hue_delta is honored on-device (review finding 6): with all other
+    jitters disabled, outputs differ from input for some sample, and
+    per-pixel luminance (the gray-axis component) is preserved."""
+    from stc_unet_tpu.datasets.device_pipeline import photometric
+    rs = np.random.RandomState(0)
+    # values away from [0, 255] edges so clipping can't bend luminance
+    img = rs.rand(4, 8, 8, 3).astype(np.float32) * 60 + 100
+    out = np.asarray(photometric(
+        jax.random.PRNGKey(3), img, brightness_delta=0.0,
+        contrast_range=(1.0, 1.0), saturation_range=(1.0, 1.0),
+        hue_delta=18.0))
+    assert not np.allclose(out, img)
+    np.testing.assert_allclose(out.mean(-1), img.mean(-1), atol=1e-3)
+    # hue_delta=0 → identity
+    out0 = np.asarray(photometric(
+        jax.random.PRNGKey(3), img, brightness_delta=0.0,
+        contrast_range=(1.0, 1.0), saturation_range=(1.0, 1.0),
+        hue_delta=0.0))
+    np.testing.assert_allclose(out0, img, atol=1e-4)
+
+
+def test_train_segmentor_device_pipeline_wrapper_cfg(tmp_path):
+    """RepeatDataset-wrapped train cfg resolves its nested pipeline and
+    enables the device path (review finding 2)."""
+    import cv2
+    from stc_unet_tpu.apis import train_segmentor
+    from stc_unet_tpu.datasets import DeviceBatchLoader, build_dataset
+    from stc_unet_tpu.models import build_segmentor
+    from stc_unet_tpu.utils import Config
+    rs = np.random.RandomState(0)
+    for sub in ('img', 'ann'):
+        (tmp_path / sub).mkdir()
+    for i in range(4):
+        cv2.imwrite(str(tmp_path / 'img' / f's{i}.png'),
+                    rs.randint(0, 255, (32, 32, 3), dtype=np.uint8))
+        cv2.imwrite(str(tmp_path / 'ann' / f's{i}.png'),
+                    rs.randint(0, 2, (32, 32)).astype(np.uint8))
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations'),
+        dict(type='Resize', img_scale=(32, 32), keep_ratio=False),
+        dict(type='RandomCrop', crop_size=(24, 24)),
+        dict(type='RandomFlip', prob=0.5),
+        dict(type='Normalize', mean=[0, 0, 0], std=[255, 255, 255],
+             to_rgb=True),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+    ]
+    inner = dict(type='MyDataset', data_root=str(tmp_path), img_dir='img',
+                 ann_dir='ann', pipeline=pipeline)
+    cfg = Config(dict(
+        model=dict(
+            type='EncoderDecoder',
+            backbone=dict(type='UnetBackbone', in_channels=3,
+                          channel_list=[4, 8, 8, 8]),
+            decode_head=dict(type='UnetHead', num_classes=2, channels=4,
+                             decoder_channel=[16, 16, 16, 16, 4],
+                             loss_decode=dict(type='CrossEntropyLoss')),
+            test_cfg=dict(mode='whole')),
+        data=dict(samples_per_gpu=2, workers_per_gpu=0,
+                  device_pipeline=True,
+                  train=dict(type='RepeatDataset', times=2, dataset=inner)),
+        optimizer=dict(type='Adam', lr=1e-3, betas=(0.9, 0.999)),
+        optimizer_config=dict(),
+        lr_config=dict(policy='poly', power=0.9, min_lr=1e-6,
+                       by_epoch=True),
+        runner=dict(type='EpochBasedRunner', max_epochs=1),
+        checkpoint_config=None,
+        log_config=dict(interval=1, hooks=[dict(type='TextLoggerHook')]),
+        log_level='INFO', work_dir=str(tmp_path / 'wd'),
+        workflow=[('train', 1)], seed=0))
+    model = build_segmentor(cfg.model)
+    model.init_weights(seed=0)
+    runner = train_segmentor(model, build_dataset(cfg.data.train), cfg)
+    assert isinstance(runner.data_loader, DeviceBatchLoader)
+    # global batch = samples_per_gpu * 8 virtual devices = 16 → one batch
+    assert runner.iter == len(runner.data_loader) >= 1

@@ -234,10 +234,15 @@ def main():
     if args.trace:
         import os
         os.makedirs('/tmp/train_trace', exist_ok=True)
+        # the timing sections freed their states (HBM headroom for the
+        # sweep) — build a fresh one for the traced steps
+        tstate = TrainState.create(_fresh_vars(), tx)
+        tstate, tlv = step(tstate, imgf, gt, rng)
+        _force(tlv['loss'])
         with jax.profiler.trace('/tmp/train_trace'):
             for _ in range(3):
-                newstate, lv = step(newstate, imgf, gt, rng)
-            _force(lv['loss'])
+                tstate, tlv = step(tstate, imgf, gt, rng)
+            _force(tlv['loss'])
         report['trace'] = '/tmp/train_trace'
 
     report['batch'] = B
