@@ -1,6 +1,6 @@
 from .builder import (DATASETS, PIPELINES, DataLoader, EpochSampler,
                       build_dataloader, build_dataset, collate,
-                      worker_init_fn)
+                      inject_img_cache, worker_init_fn)
 from .cityscapes import CityscapesDataset
 from .custom import CustomDataset
 from .dataset_wrappers import (ConcatDataset, MultiImageMixDataset,
@@ -19,7 +19,7 @@ from .device_pipeline import (DeviceBatchLoader, make_device_train_pipeline,
 
 __all__ = [
     'DATASETS', 'PIPELINES', 'DataLoader', 'EpochSampler', 'build_dataloader',
-    'build_dataset', 'collate', 'worker_init_fn',
+    'build_dataset', 'collate', 'inject_img_cache', 'worker_init_fn',
     'DeviceBatchLoader', 'make_device_train_pipeline', 'split_train_pipeline',
     'wrap_loader_with_device_pipeline', 'CityscapesDataset',
     'CustomDataset', 'ConcatDataset', 'MultiImageMixDataset', 'RepeatDataset',

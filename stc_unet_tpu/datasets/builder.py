@@ -84,6 +84,37 @@ def build_dataset(cfg, default_args=None):
     return DATASETS.build(cfg, default_args=default_args)
 
 
+def inject_img_cache(dataset_cfg, mode, cache_dir=None):
+    """Propagate ``data.img_cache=<'ram'|'disk'>`` into a dataset cfg.
+
+    Convenience for the cfg flag honored by ``tools/train.py`` /
+    ``tools/test.py``: recursively walks wrapper-dataset cfgs
+    (Repeat/Concat/MultiImageMix nesting, list cfgs) and sets
+    ``cache``/``cache_dir`` on every ``LoadImageFromFile`` /
+    ``LoadAnnotations`` pipeline entry that does not already configure a
+    cache explicitly (per-transform settings win). Mutates and returns
+    ``dataset_cfg``. See ``pipelines/img_cache.py`` for semantics.
+    """
+    if isinstance(dataset_cfg, (list, tuple)):
+        for c in dataset_cfg:
+            inject_img_cache(c, mode, cache_dir)
+        return dataset_cfg
+    if not isinstance(dataset_cfg, dict):
+        return dataset_cfg
+    for key in ('dataset', 'datasets'):
+        if key in dataset_cfg:
+            inject_img_cache(dataset_cfg[key], mode, cache_dir)
+    for step in dataset_cfg.get('pipeline', []):
+        if (isinstance(step, dict)
+                and step.get('type') in ('LoadImageFromFile',
+                                         'LoadAnnotations')
+                and 'cache' not in step):
+            step['cache'] = mode
+            if cache_dir is not None:
+                step['cache_dir'] = cache_dir
+    return dataset_cfg
+
+
 def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack a list of pipeline outputs into a model batch.
 

@@ -25,10 +25,19 @@ class LoadImageFromFile:
     (reference ``loading.py:11``)."""
 
     def __init__(self, to_float32=False, color_type='color',
-                 file_client_args=None, imdecode_backend='cv2'):
+                 file_client_args=None, imdecode_backend='cv2',
+                 cache=None, cache_dir=None):
         self.to_float32 = to_float32
         self.color_type = color_type
         self.imdecode_backend = imdecode_backend
+        from .img_cache import build_img_cache
+        self.cache = build_img_cache(
+            cache, cache_dir,
+            params=('img', color_type, imdecode_backend))
+
+    def _decode(self, filename):
+        return mmimg.imread(filename, flag=self.color_type,
+                            backend=self.imdecode_backend)
 
     def __call__(self, results):
         if results.get('img_prefix') is not None:
@@ -36,8 +45,10 @@ class LoadImageFromFile:
                                 results['img_info']['filename'])
         else:
             filename = results['img_info']['filename']
-        img = mmimg.imread(filename, flag=self.color_type,
-                           backend=self.imdecode_backend)
+        if self.cache is not None:
+            img = self.cache.get(filename, self._decode)
+        else:
+            img = self._decode(filename)
         if self.to_float32:
             img = img.astype(np.float32)
         results['filename'] = filename
@@ -55,9 +66,11 @@ class LoadImageFromFile:
         return results
 
     def __repr__(self):
+        cache = self.cache.mode if self.cache is not None else None
         return (f'{self.__class__.__name__}(to_float32={self.to_float32}, '
                 f"color_type='{self.color_type}', "
-                f"imdecode_backend='{self.imdecode_backend}')")
+                f"imdecode_backend='{self.imdecode_backend}', "
+                f'cache={cache!r})')
 
 
 @PIPELINES.register_module()
@@ -66,9 +79,14 @@ class LoadAnnotations:
     unchanged → uint8, custom-classes ``label_map`` remap, reduce_zero_label."""
 
     def __init__(self, reduce_zero_label=False, file_client_args=None,
-                 imdecode_backend='pillow'):
+                 imdecode_backend='pillow', cache=None, cache_dir=None):
         self.reduce_zero_label = reduce_zero_label
         self.imdecode_backend = imdecode_backend
+        from .img_cache import build_img_cache
+        # cache the raw decode: label_map / reduce_zero_label mutate the
+        # served array in place below and must not touch cached storage
+        self.cache = build_img_cache(cache, cache_dir,
+                                     params=('ann', imdecode_backend))
 
     def __call__(self, results):
         if results.get('seg_prefix', None) is not None:
@@ -76,7 +94,10 @@ class LoadAnnotations:
                                 results['ann_info']['seg_map'])
         else:
             filename = results['ann_info']['seg_map']
-        gt_semantic_seg = imread_annotation(filename)
+        if self.cache is not None:
+            gt_semantic_seg = self.cache.get(filename, imread_annotation)
+        else:
+            gt_semantic_seg = imread_annotation(filename)
         if results.get('label_map', None) is not None:
             gt_copy = gt_semantic_seg.copy()
             for old_id, new_id in results['label_map'].items():

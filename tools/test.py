@@ -122,6 +122,10 @@ def main():
     cfg.data.test['data_root'] = args.data_root
     cfg.data.test['img_dir'] = args.data_root
     cfg.data.test['ann_dir'] = args.data_root.replace('images', 'labels')
+    if cfg.data.get('img_cache'):
+        from stc_unet_tpu.datasets import inject_img_cache
+        inject_img_cache(cfg.data.test, cfg.data['img_cache'],
+                         cfg.data.get('img_cache_dir'))
     dataset = build_dataset(cfg.data.test)
     data_loader = build_dataloader(
         dataset, samples_per_gpu=1,

@@ -137,6 +137,17 @@ def main():
     model.init_weights(seed=seed)
     logger.info(model.__class__.__name__)
 
+    if cfg.data.get('img_cache'):
+        # decode-once cache ('ram'/'disk'): the loading transforms serve
+        # decoded arrays after epoch 1 instead of re-running PNG decode
+        from stc_unet_tpu.datasets import inject_img_cache
+        for split in ('train', 'val'):
+            if cfg.data.get(split) is not None:
+                inject_img_cache(cfg.data[split], cfg.data['img_cache'],
+                                 cfg.data.get('img_cache_dir'))
+        logger.info('img_cache: %s decode cache enabled',
+                    cfg.data['img_cache'])
+
     datasets = [build_dataset(cfg.data.train)]
     if len(cfg.workflow) == 2:
         val_dataset = copy.deepcopy(cfg.data.val)
