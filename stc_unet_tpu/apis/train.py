@@ -93,7 +93,8 @@ def train_segmentor(model, dataset, cfg, distributed=False, validate=False,
             try:
                 data_loaders[i] = wrap_loader_with_device_pipeline(
                     dl, ds, _find_pipeline(cfg.data.train),
-                    host_size=host_size, seed=cfg.get('seed', 0) or 0)
+                    host_size=host_size, seed=cfg.get('seed', 0) or 0,
+                    prefetch=cfg.data.get('device_pipeline_prefetch', 2))
                 logger.info('device_pipeline: on-device augmentation '
                             'enabled for loader %d', i)
             except (ValueError, KeyError) as e:

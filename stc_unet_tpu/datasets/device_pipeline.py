@@ -282,15 +282,24 @@ class DeviceBatchLoader:
     produced by the jitted augmentation program; the runner feeds them to
     the train step without any further host work (``run_iter`` passes
     jax arrays through).
+
+    ``prefetch > 0`` stages upload + augmentation of the next batches in
+    a background thread: the host→device copy of a B=8 512² uint8 batch
+    costs ~270 ms blocked over the tunneled chip (measured round 3) —
+    comparable to the train step itself — and overlaps it entirely with
+    device compute. The thread preserves batch order, so the per-batch
+    ``fold_in`` RNG stream (and hence the augmentation sequence) is
+    identical to the synchronous path.
     """
 
     def __init__(self, loader, device_params: dict, seed: int = 0,
-                 out_dtype=jnp.float32):
+                 out_dtype=jnp.float32, prefetch: int = 2):
         self.loader = loader
         self.fn = make_device_train_pipeline(out_dtype=out_dtype,
                                              **device_params)
         self._rng = jax.random.PRNGKey(seed)
         self._count = 0
+        self.prefetch = prefetch
 
     def set_epoch(self, epoch: int):
         if hasattr(self.loader, 'set_epoch'):
@@ -299,21 +308,72 @@ class DeviceBatchLoader:
     def __len__(self):
         return len(self.loader)
 
+    def _device_batch(self, batch):
+        self._count += 1
+        rng = jax.random.fold_in(self._rng, self._count)
+        img, gt = self.fn(rng, jnp.asarray(batch['img']),
+                          jnp.asarray(batch['gt_semantic_seg']),
+                          jnp.asarray(batch['valid_hw']))
+        out = dict(batch)
+        out['img'] = img
+        out['gt_semantic_seg'] = gt
+        return out
+
     def __iter__(self):
-        for batch in self.loader:
-            self._count += 1
-            rng = jax.random.fold_in(self._rng, self._count)
-            img, gt = self.fn(rng, jnp.asarray(batch['img']),
-                              jnp.asarray(batch['gt_semantic_seg']),
-                              jnp.asarray(batch['valid_hw']))
-            out = dict(batch)
-            out['img'] = img
-            out['gt_semantic_seg'] = gt
-            yield out
+        if self.prefetch <= 0:
+            for batch in self.loader:
+                yield self._device_batch(batch)
+            return
+
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        done = object()
+
+        def feeder():
+            try:
+                for batch in self.loader:
+                    item = self._device_batch(batch)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                item = done
+            except BaseException as e:  # re-raised on the consumer side
+                item = e
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
+        thread = threading.Thread(target=feeder, daemon=True,
+                                  name='DeviceBatchLoader-prefetch')
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer abandoned the epoch (break/close): unblock the
+            # feeder so the thread exits instead of leaking on q.put
+            stop.set()
 
 
 def wrap_loader_with_device_pipeline(loader, dataset, pipeline_cfg,
-                                     host_size=None, seed: int = 0):
+                                     host_size=None, seed: int = 0,
+                                     prefetch: int = 2):
     """Swap ``dataset``'s pipeline for the host prefix and wrap ``loader``.
 
     Walks wrapper datasets (Repeat/Concat) to reach the CustomDataset(s).
@@ -334,4 +394,4 @@ def wrap_loader_with_device_pipeline(loader, dataset, pipeline_cfg,
             stack.extend(ds.datasets)
     if not found:
         raise ValueError('no pipeline-bearing dataset found')
-    return DeviceBatchLoader(loader, params, seed=seed)
+    return DeviceBatchLoader(loader, params, seed=seed, prefetch=prefetch)

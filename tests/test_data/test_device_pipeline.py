@@ -323,3 +323,88 @@ def test_train_segmentor_device_pipeline_wrapper_cfg(tmp_path):
     assert isinstance(runner.data_loader, DeviceBatchLoader)
     # global batch = samples_per_gpu * 8 virtual devices = 16 → one batch
     assert runner.iter == len(runner.data_loader) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Prefetch overlap (round 3: the ~270 ms/batch tunnel upload)
+# ---------------------------------------------------------------------------
+
+class _ListLoader:
+    """Minimal host-loader stand-in: fixed uint8 batches, no shuffling."""
+
+    def __init__(self, batches):
+        self.batches = batches
+        self.epoch = None
+
+    def __len__(self):
+        return len(self.batches)
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _u8_batches(n=4, b=2, hw=16):
+    rs = np.random.RandomState(0)
+    out = []
+    for _ in range(n):
+        out.append(dict(
+            img=rs.randint(0, 255, (b, hw, hw, 3), dtype=np.uint8),
+            gt_semantic_seg=rs.randint(0, 2, (b, hw, hw)).astype(np.uint8),
+            valid_hw=np.tile([hw, hw], (b, 1)).astype(np.int32),
+            img_metas=[{}] * b))
+    return out
+
+
+def _params(hw=16):
+    return dict(crop_size=(8, 8), mean=(0., 0., 0.), std=(255., 255., 255.))
+
+
+def test_prefetch_matches_synchronous_stream():
+    """prefetch>0 must yield the identical batch/RNG sequence as the
+    synchronous path — order-preserving background thread."""
+    batches = _u8_batches()
+    sync = DeviceBatchLoader(_ListLoader(batches), _params(), seed=0,
+                             prefetch=0)
+    pre = DeviceBatchLoader(_ListLoader(batches), _params(), seed=0,
+                            prefetch=2)
+    for epoch in range(2):  # counter keeps advancing across epochs
+        got_s = list(sync)
+        got_p = list(pre)
+        assert len(got_s) == len(got_p) == 4
+        for bs, bp in zip(got_s, got_p):
+            np.testing.assert_array_equal(np.asarray(bs['img']),
+                                          np.asarray(bp['img']))
+            np.testing.assert_array_equal(np.asarray(bs['gt_semantic_seg']),
+                                          np.asarray(bp['gt_semantic_seg']))
+
+
+def test_prefetch_abandoned_epoch_thread_exits():
+    import threading
+    loader = DeviceBatchLoader(_ListLoader(_u8_batches(n=8)), _params(),
+                               seed=0, prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # GeneratorExit → finally sets the stop flag
+    for _ in range(100):
+        alive = [t for t in threading.enumerate()
+                 if t.name == 'DeviceBatchLoader-prefetch' and t.is_alive()]
+        if not alive:
+            break
+        import time
+        time.sleep(0.05)
+    assert not alive, 'prefetch feeder thread leaked after early close'
+
+
+def test_prefetch_propagates_host_errors():
+    class _Boom(_ListLoader):
+        def __iter__(self):
+            yield self.batches[0]
+            raise RuntimeError('host decode failed')
+
+    loader = DeviceBatchLoader(_Boom(_u8_batches(n=2)), _params(),
+                               seed=0, prefetch=2)
+    with pytest.raises(RuntimeError, match='host decode failed'):
+        list(loader)

@@ -41,7 +41,7 @@ CONFIGS = [
 
 
 def write_cfg(path, data_root, epochs, batch, device_pipeline, img_cache,
-              cache_dir):
+              cache_dir, log_interval=1):
     extra = ''
     if img_cache:
         extra = (f'img_cache={img_cache!r}, '
@@ -58,7 +58,7 @@ runner = dict(type='EpochBasedRunner', max_epochs={epochs})
 checkpoint_config = dict(by_epoch=True, interval={epochs + 1},
                          save_optimizer=False)
 evaluation = dict(interval={epochs + 1}, metric=['mDice'])
-log_config = dict(interval=1, hooks=[dict(type='TextLoggerHook')])
+log_config = dict(interval={log_interval}, hooks=[dict(type='TextLoggerHook')])
 bf16 = True
 '''
     with open(path, 'w') as f:
@@ -87,6 +87,11 @@ def main():
     ap.add_argument('--epochs', type=int, default=6)
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--out', default='')
+    ap.add_argument('--log-interval', type=int, default=1,
+                    help='TextLoggerHook interval; 1 pays a log readback '
+                         'every step, 50 is the realistic default')
+    ap.add_argument('--configs', default='',
+                    help='comma-separated tag filter (default: all)')
     ap.add_argument('--platform', default='',
                     help="'' = default (TPU when present); 'cpu' for smoke")
     args = ap.parse_args()
@@ -100,12 +105,15 @@ def main():
     build_learnable_kits(data_root, args.train_imgs, 2, args.size)
     result = dict(size=args.size, batch=args.batch, epochs=args.epochs)
 
+    only = [t for t in args.configs.split(',') if t]
     for tag, devpipe, cache in CONFIGS:
+        if only and tag not in only:
+            continue
         cfg_path = os.path.join(work, f'cfg_{tag}.py')
         wd = os.path.join(work, f'wd_{tag}')
         cache_dir = os.path.join(work, f'cache_{tag}')
         write_cfg(cfg_path, data_root, args.epochs, args.batch, devpipe,
-                  cache, cache_dir)
+                  cache, cache_dir, log_interval=args.log_interval)
         _sys.argv = ['tools/train.py', cfg_path, '--work-dir', wd,
                      '--no-validate', '--seed', '0']
         print(f'== training ({tag}) ==', flush=True)
