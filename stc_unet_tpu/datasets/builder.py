@@ -104,14 +104,22 @@ def inject_img_cache(dataset_cfg, mode, cache_dir=None):
     for key in ('dataset', 'datasets'):
         if key in dataset_cfg:
             inject_img_cache(dataset_cfg[key], mode, cache_dir)
-    for step in dataset_cfg.get('pipeline', []):
-        if (isinstance(step, dict)
-                and step.get('type') in ('LoadImageFromFile',
-                                         'LoadAnnotations')
-                and 'cache' not in step):
-            step['cache'] = mode
-            if cache_dir is not None:
-                step['cache_dir'] = cache_dir
+
+    def _walk(steps):
+        for step in steps:
+            if not isinstance(step, dict):
+                continue
+            if (step.get('type') in ('LoadImageFromFile',
+                                     'LoadAnnotations')
+                    and 'cache' not in step):
+                step['cache'] = mode
+                if cache_dir is not None:
+                    step['cache_dir'] = cache_dir
+            # wrapper transforms (MultiScaleFlipAug etc.) nest a list
+            if isinstance(step.get('transforms'), (list, tuple)):
+                _walk(step['transforms'])
+
+    _walk(dataset_cfg.get('pipeline', []))
     return dataset_cfg
 
 

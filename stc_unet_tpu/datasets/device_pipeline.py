@@ -284,12 +284,13 @@ class DeviceBatchLoader:
     jax arrays through).
 
     ``prefetch > 0`` stages upload + augmentation of the next batches in
-    a background thread: the host→device copy of a B=8 512² uint8 batch
-    costs ~270 ms blocked over the tunneled chip (measured round 3) —
-    comparable to the train step itself — and overlaps it entirely with
-    device compute. The thread preserves batch order, so the per-batch
-    ``fold_in`` RNG stream (and hence the augmentation sequence) is
-    identical to the synchronous path.
+    a background thread, overlapping the host→device copy and the aug
+    program's dispatch with device compute. The thread preserves batch
+    order and the per-batch RNG is derived from ``(pass number, batch
+    index)`` — the pass number is assigned in ``__iter__`` on the main
+    thread — so the augmentation stream is identical to the synchronous
+    path, reproducible across restarts, and unaffected by abandoned
+    epochs or overlapping iterators.
     """
 
     def __init__(self, loader, device_params: dict, seed: int = 0,
@@ -298,7 +299,7 @@ class DeviceBatchLoader:
         self.fn = make_device_train_pipeline(out_dtype=out_dtype,
                                              **device_params)
         self._rng = jax.random.PRNGKey(seed)
-        self._count = 0
+        self._pass = 0
         self.prefetch = prefetch
 
     def set_epoch(self, epoch: int):
@@ -308,9 +309,8 @@ class DeviceBatchLoader:
     def __len__(self):
         return len(self.loader)
 
-    def _device_batch(self, batch):
-        self._count += 1
-        rng = jax.random.fold_in(self._rng, self._count)
+    def _device_batch(self, batch, pass_rng, index):
+        rng = jax.random.fold_in(pass_rng, index)
         img, gt = self.fn(rng, jnp.asarray(batch['img']),
                           jnp.asarray(batch['gt_semantic_seg']),
                           jnp.asarray(batch['valid_hw']))
@@ -320,9 +320,13 @@ class DeviceBatchLoader:
         return out
 
     def __iter__(self):
+        # one fold per iteration pass (main thread, GIL-ordered): the
+        # feeder below only ever folds per-batch indices into this key
+        pass_rng = jax.random.fold_in(self._rng, self._pass)
+        self._pass += 1
         if self.prefetch <= 0:
-            for batch in self.loader:
-                yield self._device_batch(batch)
+            for i, batch in enumerate(self.loader):
+                yield self._device_batch(batch, pass_rng, i)
             return
 
         import queue
@@ -334,8 +338,8 @@ class DeviceBatchLoader:
 
         def feeder():
             try:
-                for batch in self.loader:
-                    item = self._device_batch(batch)
+                for i, batch in enumerate(self.loader):
+                    item = self._device_batch(batch, pass_rng, i)
                     while not stop.is_set():
                         try:
                             q.put(item, timeout=0.1)

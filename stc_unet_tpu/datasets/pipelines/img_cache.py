@@ -1,25 +1,26 @@
 """Decoded-image cache for the loading transforms.
 
 TPU-first addition (no reference counterpart): on a weak host feeding a
-fast chip, PNG/JPEG *decode* dominates ``data_time`` — the real-chip
-round-3 measurement is 0.62 s/batch of host input against a 0.36 s train
-step even with the on-device augmentation pipeline, i.e. training is
-input-bound purely on decode. Augmentation must stay random per epoch,
-but the decode of an unchanging file need only ever happen once:
+fast chip, every host-side millisecond in the input path is a
+millisecond the chip may idle. PNG/JPEG *decode* is pure re-computation
+of an unchanging file (measured 6.2 ms per 512x512 slice on this 1-CPU
+host, every epoch, twice per sample with annotations) — augmentation
+must stay random per epoch, but the decode need only ever happen once:
 
-- ``cache='ram'``: process-global dict of decoded arrays. Fastest;
-  memory-unbounded (a 512x512 BGR slice is ~0.75 MB), so meant for
-  datasets that fit in host RAM.
-- ``cache='disk'``: ``.npy`` spool under ``cache_dir`` (default
+- ``cache='ram'``: process-global dict of decoded arrays. Fastest
+  (~0.1 ms serve); memory-bounded only by the dataset (a 512x512 BGR
+  slice is ~0.75 MB), so meant for datasets that fit in host RAM.
+- ``cache='disk'``: ``.npz`` spool under ``cache_dir`` (default
   ``~/.cache/stc_unet_tpu/img_cache``). First epoch decodes and spools,
-  later epochs ``np.load`` at disk/page-cache bandwidth (~1 ms vs ~50+ ms
-  PNG decode for a 512x512 slice on this host).
+  later epochs load at page-cache bandwidth (~0.4 ms per slice).
 
-Entries are keyed by absolute path + mtime + size + decode parameters,
-so edited files re-decode and differently-flagged reads don't collide.
-Serves are always fresh writable arrays — downstream transforms mutate
-in place (label_map remap, photometric distortion), and a served buffer
-must never alias the cached one.
+Entries are addressed by absolute path + decode parameters (one entry
+per source file), with the file's mtime+size signature stored alongside
+the array: an edited source re-decodes and *overwrites* its entry, so
+neither mode accumulates stale copies. Serves are always fresh writable
+arrays — downstream transforms mutate in place (label_map remap,
+photometric distortion), and a served buffer must never alias the
+cached one.
 
 Thread-safe under the thread-pool loader (dict ops hold the GIL; disk
 writes go to a temp file + atomic ``os.replace``).
@@ -34,13 +35,15 @@ import tempfile
 import numpy as np
 
 # process-global RAM store, shared by every transform instance so the
-# img- and annotation-loaders of all dataset copies pool one cache
+# img- and annotation-loaders of all dataset copies pool one cache.
+# maps entry id -> (signature, array); stale signatures are overwritten
+# in place, so the store holds at most one array per (file, params).
 _RAM_CACHE: dict = {}
 
 
-def _file_sig(path: str):
+def _file_sig(path: str) -> np.ndarray:
     st = os.stat(path)
-    return (osp.abspath(path), st.st_mtime_ns, st.st_size)
+    return np.array([st.st_mtime_ns, st.st_size], np.int64)
 
 
 class DecodedImageCache:
@@ -49,7 +52,7 @@ class DecodedImageCache:
     Args:
         mode: 'ram' or 'disk'.
         cache_dir: spool directory for 'disk' mode (created on demand).
-        params: decode-parameter tuple mixed into the key (e.g. the
+        params: decode-parameter tuple mixed into the entry id (e.g. the
             loader's ``(color_type, imdecode_backend)``) so the same file
             decoded two ways gets two entries.
     """
@@ -64,30 +67,35 @@ class DecodedImageCache:
         self.cache_dir = cache_dir or osp.join(
             osp.expanduser('~'), '.cache', 'stc_unet_tpu', 'img_cache')
 
-    def _key(self, path: str):
-        return _file_sig(path) + self.params
+    def _entry_id(self, path: str) -> str:
+        return repr((osp.abspath(path),) + self.params)
 
-    def _disk_path(self, key) -> str:
-        digest = hashlib.sha1(repr(key).encode()).hexdigest()
-        return osp.join(self.cache_dir, digest + '.npy')
+    def _disk_path(self, entry_id: str) -> str:
+        digest = hashlib.sha1(entry_id.encode()).hexdigest()
+        return osp.join(self.cache_dir, digest + '.npz')
 
     def get(self, path: str, decode) -> np.ndarray:
-        """Return ``decode(path)``, served from cache when present.
+        """Return ``decode(path)``, served from cache when fresh.
 
         Always returns a writable array that aliases no cached storage.
         """
-        key = self._key(path)
+        entry_id = self._entry_id(path)
+        sig = _file_sig(path)
         if self.mode == 'ram':
-            arr = _RAM_CACHE.get(key)
-            if arr is None:
+            hit = _RAM_CACHE.get(entry_id)
+            if hit is None or not np.array_equal(hit[0], sig):
                 arr = np.ascontiguousarray(decode(path))
-                _RAM_CACHE[key] = arr
+                _RAM_CACHE[entry_id] = (sig, arr)  # overwrites stale
+            else:
+                arr = hit[1]
             return arr.copy()
         # disk
-        npy = self._disk_path(key)
-        if osp.isfile(npy):
+        npz = self._disk_path(entry_id)
+        if osp.isfile(npz):
             try:
-                return np.load(npy, allow_pickle=False)
+                with np.load(npz, allow_pickle=False) as z:
+                    if np.array_equal(z['sig'], sig):
+                        return z['arr']
             except Exception:
                 pass  # truncated/corrupt spool entry → re-decode below
         arr = np.ascontiguousarray(decode(path))
@@ -95,8 +103,8 @@ class DecodedImageCache:
         fd, tmp = tempfile.mkstemp(dir=self.cache_dir, suffix='.tmp')
         try:
             with os.fdopen(fd, 'wb') as f:
-                np.save(f, arr, allow_pickle=False)
-            os.replace(tmp, npy)
+                np.savez(f, sig=sig, arr=arr)
+            os.replace(tmp, npz)  # overwrites a stale entry atomically
         except BaseException:
             if osp.exists(tmp):
                 os.unlink(tmp)

@@ -111,9 +111,11 @@ class LoadAnnotations:
         return results
 
     def __repr__(self):
+        cache = self.cache.mode if self.cache is not None else None
         return (f'{self.__class__.__name__}'
                 f'(reduce_zero_label={self.reduce_zero_label}, '
-                f"imdecode_backend='{self.imdecode_backend}')")
+                f"imdecode_backend='{self.imdecode_backend}', "
+                f'cache={cache!r})')
 
 
 @PIPELINES.register_module()

@@ -398,6 +398,26 @@ def test_prefetch_abandoned_epoch_thread_exits():
     assert not alive, 'prefetch feeder thread leaked after early close'
 
 
+def test_prefetch_abandoned_pass_keeps_rng_deterministic():
+    """An abandoned pass must not shift later passes' augmentation RNG:
+    the per-batch key derives from (pass number, index), not a shared
+    counter the feeder may have over-advanced."""
+    batches = _u8_batches()
+    ref = DeviceBatchLoader(_ListLoader(batches), _params(), seed=0,
+                            prefetch=0)
+    list(ref)                   # pass 0
+    want = list(ref)            # pass 1 (full)
+    loader = DeviceBatchLoader(_ListLoader(batches), _params(), seed=0,
+                               prefetch=2)
+    it = iter(loader)
+    next(it)                    # pass 0, abandoned after one batch
+    it.close()
+    got = list(loader)          # pass 1
+    for bw, bg in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(bw['img']),
+                                      np.asarray(bg['img']))
+
+
 def test_prefetch_propagates_host_errors():
     class _Boom(_ListLoader):
         def __iter__(self):

@@ -86,12 +86,33 @@ def test_corrupt_spool_entry_redecodes(png, tmp_path):
     cache = DecodedImageCache('disk', cache_dir=str(tmp_path / 'c'))
     decode = CountingDecode()
     first = cache.get(path, decode)
-    npy = cache._disk_path(cache._key(path))
-    with open(npy, 'wb') as f:
-        f.write(b'not an npy file')
+    npz = cache._disk_path(cache._entry_id(path))
+    with open(npz, 'wb') as f:
+        f.write(b'not an npz file')
     out = cache.get(path, decode)
     assert decode.calls == 2
     np.testing.assert_array_equal(out, first)
+
+
+def test_stale_entries_are_overwritten_not_accumulated(png, tmp_path):
+    """One entry per (file, params): an edited source re-decodes and
+    REPLACES its entry in both modes (no unbounded stale growth)."""
+    path, arr = png
+    clear_ram_cache()
+    cdir = str(tmp_path / 'c')
+    disk = DecodedImageCache('disk', cache_dir=cdir)
+    ram = DecodedImageCache('ram')
+    decode = CountingDecode()
+    disk.get(path, decode)
+    ram.get(path, decode)
+    for round_ in range(3):
+        time.sleep(0.01)
+        Image.fromarray((arr // (round_ + 2)).astype(np.uint8)).save(path)
+        disk.get(path, decode)
+        ram.get(path, decode)
+    assert len(os.listdir(cdir)) == 1
+    from stc_unet_tpu.datasets.pipelines.img_cache import _RAM_CACHE
+    assert len(_RAM_CACHE) == 1
 
 
 def test_param_tuple_separates_entries(png, tmp_path):
@@ -186,6 +207,15 @@ def test_inject_img_cache_wrapper_nesting():
            dict(pipeline=[dict(type='LoadAnnotations')])]
     inject_img_cache(lst, 'ram')
     assert all(c['pipeline'][0]['cache'] == 'ram' for c in lst)
+    # Load transforms nested inside wrapper transforms (TTA cfgs)
+    tta = dict(pipeline=[
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=(32, 32), flip=False,
+             transforms=[dict(type='LoadAnnotations'),
+                         dict(type='Resize', keep_ratio=False)])])
+    inject_img_cache(tta, 'disk')
+    assert tta['pipeline'][1]['transforms'][0]['cache'] == 'disk'
+    assert 'cache' not in tta['pipeline'][1]['transforms'][1]
 
 
 def test_end_to_end_dataset_with_cache(tmp_path):

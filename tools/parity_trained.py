@@ -121,6 +121,8 @@ bf16 = True
 def mean_data_time(log_dir: str) -> float:
     """Mean data_time over the later iterations of the newest json log."""
     logs = sorted(f for f in os.listdir(log_dir) if f.endswith('.log.json'))
+    if not logs:
+        raise RuntimeError(f'no .log.json in {log_dir}')
     times = []
     with open(os.path.join(log_dir, logs[-1])) as f:
         for line in f:
@@ -131,7 +133,12 @@ def mean_data_time(log_dir: str) -> float:
             if rec.get('mode') == 'train' and 'data_time' in rec:
                 times.append(float(rec['data_time']))
     tail = times[max(2, len(times) // 4):]
-    return sum(tail) / max(len(tail), 1)
+    if not tail:
+        raise RuntimeError(
+            f'no train data_time records in {logs[-1]} — log interval '
+            'larger than iters/epoch? (TextLoggerHook only fires every '
+            'interval inner-iters)')
+    return sum(tail) / len(tail)
 
 
 def main():

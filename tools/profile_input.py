@@ -67,6 +67,8 @@ bf16 = True
 
 def mean_step_time(log_dir):
     logs = sorted(f for f in os.listdir(log_dir) if f.endswith('.log.json'))
+    if not logs:
+        raise RuntimeError(f'no .log.json in {log_dir}')
     times = []
     with open(os.path.join(log_dir, logs[-1])) as f:
         for line in f:
@@ -77,7 +79,11 @@ def mean_step_time(log_dir):
             if rec.get('mode') == 'train' and 'time' in rec:
                 times.append(float(rec['time']))
     tail = times[max(2, len(times) // 4):]
-    return sum(tail) / max(len(tail), 1)
+    if not tail:
+        raise RuntimeError(
+            f'no train time records in {logs[-1]} — log interval larger '
+            'than iters/epoch? raise --train-imgs or lower --log-interval')
+    return sum(tail) / len(tail)
 
 
 def main():
