@@ -48,6 +48,23 @@ def _scale_by_algorithm(cfg: dict) -> list:
         alpha = cfg.get('alpha', 0.99)
         eps = cfg.get('eps', 1e-8)
         return [optax.scale_by_rms(decay=alpha, eps=eps)]
+    if opt_type in OPTIMIZERS:
+        # user-registered optimizer (≙ mmcv custom optimizers): the entry
+        # provides the gradient-STATISTICS transformation only — lr
+        # scheduling, weight decay and paramwise masks stay the
+        # framework's, so custom optimizers compose with lr_config /
+        # paramwise_cfg like the built-ins. The registered class/function
+        # receives the cfg kwargs minus the framework-owned keys and must
+        # return (or expose as ``.tx``) an optax.GradientTransformation.
+        kwargs = {k: v for k, v in cfg.items()
+                  if k not in ('type', 'lr', 'weight_decay')}
+        obj = OPTIMIZERS.get(opt_type)(**kwargs)
+        tx = getattr(obj, 'tx', obj)
+        if not isinstance(tx, optax.GradientTransformation):
+            raise TypeError(
+                f'registered optimizer {opt_type!r} must provide an '
+                f'optax.GradientTransformation (got {type(tx).__name__})')
+        return [tx]
     raise KeyError(f'Unsupported optimizer type: {opt_type}')
 
 

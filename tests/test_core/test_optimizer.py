@@ -125,3 +125,46 @@ def test_schedule_is_jittable():
         base_lr=1e-2, max_iters=100)
     f = jax.jit(sched)
     assert np.isfinite(float(f(jnp.asarray(3))))
+
+
+def test_custom_registered_optimizer():
+    """User-registered optimizer (statistics-only contract): lr schedule,
+    decay and sign stay the framework's; the registry entry supplies the
+    optax statistics transform (directly or via ``.tx``)."""
+    import optax
+    from stc_unet_tpu.core import OPTIMIZERS, build_optimizer_tx
+
+    @OPTIMIZERS.register_module()
+    class SignSGD:
+        def __init__(self, momentum=0.0):
+            assert momentum == 0.0
+            self.tx = optax.GradientTransformation(
+                lambda params: optax.EmptyState(),
+                lambda updates, state, params=None: (
+                    jax.tree_util.tree_map(jnp.sign, updates), state))
+
+    try:
+        tx = build_optimizer_tx(dict(type='SignSGD', lr=0.1, momentum=0.0))
+        params = {'w': jnp.asarray([1.0, -2.0])}
+        grads = {'w': jnp.asarray([0.3, -7.0])}
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        np.testing.assert_allclose(np.asarray(updates['w']),
+                                   [-0.1, 0.1], rtol=1e-6)
+    finally:
+        OPTIMIZERS._module_dict.pop('SignSGD', None)
+
+
+def test_custom_registered_optimizer_type_error():
+    from stc_unet_tpu.core import OPTIMIZERS, build_optimizer_tx
+
+    @OPTIMIZERS.register_module()
+    class NotATransform:
+        def __init__(self):
+            self.tx = 42
+
+    try:
+        with pytest.raises(TypeError, match='GradientTransformation'):
+            build_optimizer_tx(dict(type='NotATransform', lr=0.1))
+    finally:
+        OPTIMIZERS._module_dict.pop('NotATransform', None)
