@@ -135,7 +135,7 @@ def main():
         # steps asynchronously, bound the whole queue with one readback —
         # per-call readback costs ~36 ms over the tunnel and is not the
         # metric
-        iters = 6
+        iters = 12
         t0 = time.perf_counter()
         for _ in range(iters - 1):
             state, log_vars = step(state, timg, gt, rng)
