@@ -38,6 +38,10 @@ class OHEMPixelSampler(BasePixelSampler):
         seg_label = jax.lax.stop_gradient(seg_label)
         if seg_label.ndim == 4:
             seg_label = seg_label[..., 0]
+        # reference ``ohem_pixel_sampler.py:51``: spatial sizes must match
+        assert seg_logit.shape[1:3] == seg_label.shape[1:3], \
+            (f'seg_logit spatial {seg_logit.shape[1:3]} != seg_label '
+             f'spatial {seg_label.shape[1:3]}')
         ignore_index = self.context.ignore_index
         valid_mask = seg_label != ignore_index
         batch_kept = self.min_kept * seg_label.shape[0]

@@ -90,6 +90,26 @@ class HRNet(nn.Module):
 
     blocks_dict = {'BASIC': BasicBlock, 'BOTTLENECK': Bottleneck}
 
+    def __post_init__(self):
+        # reference ``hrnet.py:251-262``: a 4-stage extra spec is required
+        # and each stage's per-branch lists must match num_branches
+        from collections.abc import Mapping
+        assert isinstance(self.extra, Mapping), \
+            'HRNet requires an `extra` dict with stage1..stage4 specs'
+        for i in range(4):
+            cfg = self.extra.get(f'stage{i + 1}')
+            assert cfg is not None, f'extra is missing stage{i + 1}'
+            nb = cfg['num_branches']
+            assert len(cfg['num_blocks']) == nb, \
+                (f'stage{i + 1}: len(num_blocks) '
+                 f'({len(cfg["num_blocks"])}) != num_branches ({nb})')
+            assert len(cfg['num_channels']) == nb, \
+                (f'stage{i + 1}: len(num_channels) '
+                 f'({len(cfg["num_channels"])}) != num_branches ({nb})')
+            assert cfg['block'] in self.blocks_dict, \
+                f'stage{i + 1}: unknown block {cfg["block"]!r}'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         extra = self.extra

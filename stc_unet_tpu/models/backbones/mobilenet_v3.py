@@ -44,6 +44,27 @@ class MobileNetV3(nn.Module):
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # reference ``mobilenet_v3.py:56-70`` constructor contract
+        assert self.arch in _ARCH, \
+            f"arch must be one of {sorted(_ARCH)}, got {self.arch!r}"
+        assert isinstance(self.reduction_factor, int) and \
+            self.reduction_factor > 0, \
+            f'reduction_factor must be a positive int, ' \
+            f'got {self.reduction_factor!r}'
+        # layer0 stem + arch blocks + the final pointwise conv layer
+        n_layers = len(_ARCH[self.arch]) + 2
+        for index in self.out_indices:
+            if index not in range(n_layers):
+                raise ValueError(
+                    f'the item in out_indices must in range(0, {n_layers}), '
+                    f'but received {index}')
+        if self.frozen_stages not in range(-1, n_layers):
+            raise ValueError(
+                f'frozen_stages must be in range(-1, {n_layers}), '
+                f'but received {self.frozen_stages}')
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')

@@ -179,6 +179,28 @@ class ResNet(nn.Module):
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # fail at CONSTRUCTION like the reference's asserts
+        # (``resnet.py`` test contract: tests/test_backbones/test_resnet.py)
+        # — flax modules otherwise defer everything to first init/apply,
+        # which would silently truncate stages or ignore a bad style.
+        if self.depth not in self.arch_settings:
+            raise KeyError(f'invalid depth {self.depth} for '
+                           f'{type(self).__name__}')
+        assert 1 <= self.num_stages <= 4, \
+            f'num_stages must be in [1, 4], got {self.num_stages}'
+        assert len(self.strides) == len(self.dilations) == self.num_stages, \
+            (f'strides ({len(self.strides)}) and dilations '
+             f'({len(self.dilations)}) must match num_stages '
+             f'({self.num_stages})')
+        assert self.style in ('pytorch', 'caffe'), \
+            f"style must be 'pytorch' or 'caffe', got {self.style!r}"
+        if self.pretrained is not None and \
+                not isinstance(self.pretrained, str):
+            raise TypeError('pretrained must be a str path or None, '
+                            f'got {type(self.pretrained).__name__}')
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         block, stage_blocks = self.arch_settings[self.depth]

@@ -49,6 +49,15 @@ class DeconvModule(nn.Module):
     kernel_size: int = 4
     scale_factor: int = 2
 
+    def __post_init__(self):
+        # reference ``unet.py:103-108``: kernel >= scale and the overlap
+        # (kernel - scale) must be even for an artifact-free deconv
+        assert (self.kernel_size - self.scale_factor >= 0
+                and (self.kernel_size - self.scale_factor) % 2 == 0), \
+            (f'kernel_size ({self.kernel_size}) must be >= scale_factor '
+             f'({self.scale_factor}) and their difference even')
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         k, s = self.kernel_size, self.scale_factor
@@ -155,11 +164,51 @@ class UNet(nn.Module):
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # the reference's constructor asserts
+        # (``unet.py:316-340`` / tests/test_backbones/test_unet.py):
+        # per-stage sequences must match num_stages; dcn/plugins are not
+        # implemented there either.
+        n = self.num_stages
+        assert len(self.strides) == n, \
+            f'len(strides) ({len(self.strides)}) != num_stages ({n})'
+        assert len(self.enc_num_convs) == n, \
+            (f'len(enc_num_convs) ({len(self.enc_num_convs)}) != '
+             f'num_stages ({n})')
+        assert len(self.dec_num_convs) == n - 1, \
+            (f'len(dec_num_convs) ({len(self.dec_num_convs)}) != '
+             f'num_stages - 1 ({n - 1})')
+        assert len(self.downsamples) == n - 1, \
+            (f'len(downsamples) ({len(self.downsamples)}) != '
+             f'num_stages - 1 ({n - 1})')
+        assert len(self.enc_dilations) == n, \
+            (f'len(enc_dilations) ({len(self.enc_dilations)}) != '
+             f'num_stages ({n})')
+        assert len(self.dec_dilations) == n - 1, \
+            (f'len(dec_dilations) ({len(self.dec_dilations)}) != '
+             f'num_stages - 1 ({n - 1})')
+        assert self.dcn is None, 'DCN is not implemented (reference parity)'
+        assert self.plugins is None, \
+            'plugins are not implemented (reference parity)'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')
         act_cfg = self.act_cfg or dict(type='ReLU')
         up_cfg = self.upsample_cfg or dict(type='InterpConv')
+        # input must be divisible by the whole downsample rate (reference
+        # ``unet.py:341-350``) — shapes are static under jit, so this is a
+        # trace-time check, free at run time
+        rate = 1
+        for i in range(1, self.num_stages):
+            if self.strides[i] == 2 or self.downsamples[i - 1]:
+                rate *= 2
+        h, w = x.shape[1], x.shape[2]
+        assert h % rate == 0 and w % rate == 0, \
+            (f'input ({h}, {w}) is not divisible by the whole downsample '
+             f'rate {rate} of the encoder (strides={tuple(self.strides)}, '
+             f'downsamples={tuple(self.downsamples)})')
         enc_outs = []
         for i in range(self.num_stages):
             # pool only when the stage itself does not stride

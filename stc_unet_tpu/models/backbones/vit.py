@@ -96,6 +96,25 @@ class VisionTransformer(nn.Module):
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # reference ``vit.py:141-160`` constructor contract
+        if isinstance(self.img_size, (tuple, list)):
+            assert len(self.img_size) <= 2, \
+                f'img_size tuple length must be <= 2, got {self.img_size}'
+        elif not isinstance(self.img_size, int):
+            raise TypeError('img_size must be an int or a tuple, '
+                            f'got {type(self.img_size).__name__}')
+        if not isinstance(self.out_indices, (int, list, tuple)):
+            raise TypeError('out_indices must be an int, list or tuple, '
+                            f'got {type(self.out_indices).__name__}')
+        if self.pretrained is not None and \
+                not isinstance(self.pretrained, str):
+            raise TypeError('pretrained must be a str path or None, '
+                            f'got {type(self.pretrained).__name__}')
+        assert self.with_cls_token or not self.output_cls_token, \
+            'with_cls_token must be True when output_cls_token is True'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = x.shape[0]

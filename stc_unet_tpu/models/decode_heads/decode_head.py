@@ -65,6 +65,32 @@ class BaseDecodeHead(nn.Module):
 
     # -- static (non-flax) helpers -----------------------------------------
 
+    def __post_init__(self):
+        # the reference's ``_init_inputs`` contract
+        # (``decode_head.py:166-181``), enforced at construction: with a
+        # transform, in_channels/in_index are equal-length sequences; with
+        # none, both are ints — otherwise ``_transform_inputs`` would
+        # silently pick level -1. Validation only (flax fields are
+        # frozen); heads needing summed channels compute them themselves.
+        if self.input_transform is not None:
+            assert self.input_transform in ('resize_concat',
+                                            'multiple_select'), \
+                (f"input_transform must be 'resize_concat' or "
+                 f"'multiple_select', got {self.input_transform!r}")
+            assert isinstance(self.in_channels, (list, tuple)), \
+                'in_channels must be a list/tuple with input_transform'
+            assert isinstance(self.in_index, (list, tuple)), \
+                'in_index must be a list/tuple with input_transform'
+            assert len(self.in_channels) == len(self.in_index), \
+                (f'in_channels ({len(self.in_channels)}) and in_index '
+                 f'({len(self.in_index)}) must have equal length')
+        else:
+            assert isinstance(self.in_channels, int), \
+                'in_channels must be an int without input_transform'
+            assert isinstance(self.in_index, int), \
+                'in_index must be an int without input_transform'
+        super().__post_init__()
+
     @property
     def final_out_channels(self) -> int:
         out, _ = resolve_out_channels(self.num_classes, self.out_channels,

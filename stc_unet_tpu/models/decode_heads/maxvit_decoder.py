@@ -5,7 +5,7 @@ skip concat, then MaxViT blocks; final resize to ``output_size`` + cls_seg.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -74,6 +74,10 @@ class DecoderStage(nn.Module):
 @HEADS.register_module()
 class MaxViTDecoder(BaseDecodeHead):
     """MaxViT decoder (config ``my_config/MaxViT-UNet.py:17-30``)."""
+    # the reference hardcodes these in its super().__init__
+    # (``maxvit_decoder.py:706-709``)
+    in_index: Any = (0, 1, 2, 3)
+    input_transform: Optional[str] = 'multiple_select'
     depths: Sequence[int] = (2, 2, 2)
     output_size: Tuple[int, int] = (256, 256)
     num_heads: int = 32

@@ -1,0 +1,188 @@
+"""Invalid-config contract tests (reference negative-path parity).
+
+The reference's per-component tests assert that misconfigurations fail
+at CONSTRUCTION (e.g. ``tests/test_models/test_backbones/test_resnet.py``,
+``test_unet.py``, ``test_vit.py``, ``test_mobilenet_v3.py``,
+``test_heads/test_decode_head.py``). flax modules would otherwise defer
+everything to first init — or worse, silently truncate stages / ignore a
+bad style — so the ports add ``__post_init__`` validation mirroring the
+reference's asserts. This file pins those contracts.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stc_unet_tpu.models import BACKBONES, HEADS
+
+
+def build(reg, name, **kw):
+    return reg.get(name)(**kw)
+
+
+# -- ResNet family ---------------------------------------------------------
+
+def test_resnet_contracts():
+    with pytest.raises(KeyError):
+        build(BACKBONES, 'ResNet', depth=17)          # unknown depth
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'ResNet', depth=18, num_stages=5)
+    with pytest.raises(AssertionError):               # len mismatch
+        build(BACKBONES, 'ResNet', depth=18, strides=(1,),
+              dilations=(1, 1), num_stages=3)
+    with pytest.raises(AssertionError):               # unknown style
+        build(BACKBONES, 'ResNet', depth=50, style='tensorflow')
+    with pytest.raises(TypeError):                    # pretrained type
+        build(BACKBONES, 'ResNet', depth=50, pretrained=0)
+    # subclasses inherit the contract
+    with pytest.raises(KeyError):
+        build(BACKBONES, 'ResNetV1c', depth=17)
+    # valid cfgs still construct
+    build(BACKBONES, 'ResNet', depth=18)
+    build(BACKBONES, 'ResNetV1d', depth=50)
+
+
+# -- stock UNet ------------------------------------------------------------
+
+def test_unet_length_contracts():
+    base = dict(in_channels=3, base_channels=4)
+    with pytest.raises(AssertionError):   # len(strides) != num_stages
+        build(BACKBONES, 'UNet', num_stages=5, strides=(1, 1, 1, 1),
+              **base)
+    with pytest.raises(AssertionError):   # len(enc_num_convs) != num_stages
+        build(BACKBONES, 'UNet', num_stages=5, strides=(1,) * 5,
+              enc_num_convs=(2, 2, 2, 2), **base)
+    with pytest.raises(AssertionError):   # len(dec_num_convs) != n-1
+        build(BACKBONES, 'UNet', num_stages=5, strides=(1,) * 5,
+              enc_num_convs=(2,) * 5, dec_num_convs=(2, 2, 2), **base)
+    with pytest.raises(AssertionError):   # dcn unsupported
+        build(BACKBONES, 'UNet', dcn=dict(type='DCN'), **base)
+    with pytest.raises(AssertionError):   # plugins unsupported
+        build(BACKBONES, 'UNet', plugins=[dict(cfg=dict())], **base)
+    build(BACKBONES, 'UNet', **base)      # defaults valid
+
+
+def test_unet_input_divisibility():
+    m = build(BACKBONES, 'UNet', in_channels=3, base_channels=4)
+    with pytest.raises(AssertionError):   # 65 not divisible by 16
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 65, 65, 3)),
+               train=False)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+               train=False)
+    outs = m.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert len(outs) == 5
+
+
+def test_deconv_module_kernel_scale():
+    from stc_unet_tpu.models.backbones.unet import DeconvModule
+    for k, s in [(1, 2), (3, 2), (5, 4)]:
+        with pytest.raises(AssertionError):
+            DeconvModule(32, kernel_size=k, scale_factor=s)
+    DeconvModule(32, kernel_size=4, scale_factor=2)   # valid
+
+
+# -- MobileNetV3 -----------------------------------------------------------
+
+def test_mobilenet_v3_contracts():
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'MobileNetV3', arch='big')
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'MobileNetV3', reduction_factor=0)
+    with pytest.raises(ValueError):
+        build(BACKBONES, 'MobileNetV3', out_indices=(0, 1, 15))
+    with pytest.raises(ValueError):
+        build(BACKBONES, 'MobileNetV3', frozen_stages=15)
+    build(BACKBONES, 'MobileNetV3')                   # defaults valid
+
+
+# -- ViT -------------------------------------------------------------------
+
+def test_vit_contracts():
+    with pytest.raises(TypeError):
+        build(BACKBONES, 'VisionTransformer', img_size=512.0)
+    with pytest.raises(TypeError):
+        build(BACKBONES, 'VisionTransformer', out_indices=1.)
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'VisionTransformer', img_size=(224, 224, 224))
+    with pytest.raises(TypeError):
+        build(BACKBONES, 'VisionTransformer', pretrained=123)
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'VisionTransformer', with_cls_token=False,
+              output_cls_token=True)
+    build(BACKBONES, 'VisionTransformer', img_size=(224, 224))
+
+
+# -- HRNet -----------------------------------------------------------------
+
+def _hrnet_extra():
+    return dict(
+        stage1=dict(num_modules=1, num_branches=1, block='BOTTLENECK',
+                    num_blocks=(4,), num_channels=(64,)),
+        stage2=dict(num_modules=1, num_branches=2, block='BASIC',
+                    num_blocks=(4, 4), num_channels=(32, 64)),
+        stage3=dict(num_modules=4, num_branches=3, block='BASIC',
+                    num_blocks=(4, 4, 4), num_channels=(32, 64, 128)),
+        stage4=dict(num_modules=3, num_branches=4, block='BASIC',
+                    num_blocks=(4, 4, 4, 4),
+                    num_channels=(32, 64, 128, 256)))
+
+
+def test_hrnet_contracts():
+    with pytest.raises(AssertionError):   # extra required
+        build(BACKBONES, 'HRNet')
+    extra = _hrnet_extra()
+    del extra['stage4']                   # 4 stages required
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'HRNet', extra=extra)
+    extra = _hrnet_extra()
+    extra['stage4']['num_blocks'] = (4, 4, 4)   # len != num_branches
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'HRNet', extra=extra)
+    build(BACKBONES, 'HRNet', extra=_hrnet_extra())   # valid
+
+
+# -- BaseDecodeHead input contract (reference _init_inputs) ---------------
+
+def test_decode_head_input_contracts():
+    common = dict(channels=8, num_classes=2)
+    with pytest.raises(AssertionError):   # unknown transform
+        build(HEADS, 'FCNHead', in_channels=8, in_index=0,
+              input_transform='weird', **common)
+    with pytest.raises(AssertionError):   # list channels need a transform
+        build(HEADS, 'FCNHead', in_channels=[8, 8], in_index=[0, 1],
+              **common)
+    with pytest.raises(AssertionError):   # transform needs list channels
+        build(HEADS, 'FCNHead', in_channels=8, in_index=0,
+              input_transform='resize_concat', **common)
+    with pytest.raises(AssertionError):   # length mismatch
+        build(HEADS, 'FCNHead', in_channels=[8, 8], in_index=[0],
+              input_transform='resize_concat', **common)
+    # valid variants still construct and run
+    head = build(HEADS, 'FCNHead', in_channels=[4, 8], in_index=[0, 1],
+                 input_transform='resize_concat', **common)
+    feats = [np.zeros((1, 16, 16, 4), np.float32),
+             np.zeros((1, 8, 8, 8), np.float32)]
+    v = head.init(jax.random.PRNGKey(0), feats, train=False)
+    out = head.apply(v, feats, train=False)
+    assert out.shape == (1, 16, 16, 2)
+
+
+# -- OHEM sampler ----------------------------------------------------------
+
+def test_ohem_sampler_shape_contract():
+    from stc_unet_tpu.core.seg import build_pixel_sampler
+
+    class _Ctx:
+        ignore_index = 255
+        loss_decode_list = ()
+
+    sampler = build_pixel_sampler(
+        dict(type='OHEMPixelSampler', thresh=0.7, min_kept=10),
+        context=_Ctx())
+    logit = jnp.zeros((1, 45, 45, 19))
+    label = jnp.zeros((1, 89, 89), jnp.int32)
+    with pytest.raises(AssertionError):
+        sampler.sample(logit, label)
+    with pytest.raises(AssertionError):   # min_kept > 1 (reference :29)
+        build_pixel_sampler(dict(type='OHEMPixelSampler', min_kept=1),
+                            context=_Ctx())

@@ -17,10 +17,10 @@ def test_psa_head():
 
 
 def test_point_head_train_loss():
-    head = build_head(dict(type='PointHead', in_channels=8, channels=8,
+    head = build_head(dict(type='PointHead', in_channels=[8], channels=8,
                            num_classes=3, num_fcs=2, num_points=16,
                            oversample_ratio=2, importance_sample_ratio=0.5,
-                           in_index=0,
+                           in_index=[0],
                            loss_decode=dict(type='CrossEntropyLoss')))
     feats = [np.random.RandomState(0).rand(2, 8, 8, 8).astype(np.float32)]
     coarse = np.random.RandomState(1).rand(2, 8, 8, 3).astype(np.float32)
