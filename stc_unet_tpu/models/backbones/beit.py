@@ -129,6 +129,12 @@ class BEiT(nn.Module):
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        from ..utils import check_pretrained_init_cfg
+        check_pretrained_init_cfg(self.pretrained, self.init_cfg)
+        super().__post_init__()
+
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = x.shape[0]

@@ -67,6 +67,19 @@ class CGNet(nn.Module):
     act_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # reference ``cgnet.py:201-216``: tuple lengths are fixed by the
+        # three-stage architecture
+        assert isinstance(self.num_channels, (tuple, list)) and \
+            len(self.num_channels) == 3, \
+            f'num_channels must be a 3-tuple, got {self.num_channels!r}'
+        for name, n in (('num_blocks', self.num_blocks),
+                        ('dilations', self.dilations),
+                        ('reductions', self.reductions)):
+            assert isinstance(n, (tuple, list)) and len(n) == 2, \
+                f'{name} must be a 2-tuple, got {n!r}'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')

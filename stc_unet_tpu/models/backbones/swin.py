@@ -93,6 +93,11 @@ class SwinTransformer(nn.Module):
     frozen_stages: int = -1
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        from ..utils import check_pretrained_init_cfg
+        check_pretrained_init_cfg(self.pretrained, self.init_cfg)
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h_img, w_img, _ = x.shape

@@ -121,6 +121,12 @@ class _TwinsBase(nn.Module):
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        from ..utils import check_pretrained_init_cfg
+        check_pretrained_init_cfg(self.pretrained, self.init_cfg)
+        super().__post_init__()
+
+
     svt: bool = False
 
     @nn.compact

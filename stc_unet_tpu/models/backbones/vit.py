@@ -107,10 +107,8 @@ class VisionTransformer(nn.Module):
         if not isinstance(self.out_indices, (int, list, tuple)):
             raise TypeError('out_indices must be an int, list or tuple, '
                             f'got {type(self.out_indices).__name__}')
-        if self.pretrained is not None and \
-                not isinstance(self.pretrained, str):
-            raise TypeError('pretrained must be a str path or None, '
-                            f'got {type(self.pretrained).__name__}')
+        from ..utils import check_pretrained_init_cfg
+        check_pretrained_init_cfg(self.pretrained, self.init_cfg)
         assert self.with_cls_token or not self.output_cls_token, \
             'with_cls_token must be True when output_cls_token is True'
         super().__post_init__()

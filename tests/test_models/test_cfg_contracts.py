@@ -186,3 +186,37 @@ def test_ohem_sampler_shape_contract():
     with pytest.raises(AssertionError):   # min_kept > 1 (reference :29)
         build_pixel_sampler(dict(type='OHEMPixelSampler', min_kept=1),
                             context=_Ctx())
+
+
+# -- transformer backbones: pretrained/init_cfg contract ------------------
+
+@pytest.mark.parametrize('name,kw', [
+    ('SVT', {}),
+    ('PCPVT', {}),
+    ('BEiT', {}),
+    ('MAE', {}),
+    ('MixVisionTransformer', {}),
+    ('SwinTransformer', {}),
+    ('VisionTransformer', {}),
+])
+def test_pretrained_init_cfg_contract(name, kw):
+    with pytest.raises(TypeError):          # pretrained must be str/None
+        build(BACKBONES, name, pretrained=123, **kw)
+    with pytest.raises(AssertionError):     # not both at once
+        build(BACKBONES, name, pretrained='a.ckpt',
+              init_cfg=dict(type='Pretrained', checkpoint='a.ckpt'), **kw)
+    build(BACKBONES, name, pretrained='a.ckpt', **kw)   # alone: fine
+    build(BACKBONES, name,
+          init_cfg=dict(type='Pretrained', checkpoint='a.ckpt'), **kw)
+
+
+# -- CGNet -----------------------------------------------------------------
+
+def test_cgnet_contracts():
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'CGNet', num_channels=(32, 64, 128, 256))
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'CGNet', num_blocks=(3, 21, 3))
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'CGNet', num_blocks=2)
+    build(BACKBONES, 'CGNet')
