@@ -42,6 +42,12 @@ class PSPHead(BaseDecodeHead):
 
     pool_scales: Sequence[int] = (1, 2, 3, 6)
 
+    def __post_init__(self):
+        # reference ``psp_head.py:82``
+        assert isinstance(self.pool_scales, (list, tuple)), \
+            f'pool_scales must be a list/tuple, got {self.pool_scales!r}'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         x = self._transform_inputs(inputs)

@@ -23,6 +23,11 @@ class SETRUPHead(BaseDecodeHead):
     kernel_size: int = 3
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # reference ``setr_up_head.py:41``
+        assert self.kernel_size in (1, 3), 'kernel_size must be 1 or 3.'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         x = self._transform_inputs(inputs)
@@ -46,6 +51,14 @@ class SETRMLAHead(BaseDecodeHead):
     in_index: object = (0, 1, 2, 3)
     input_transform: str = 'multiple_select'
     up_scale: int = 4
+
+    def __post_init__(self):
+        # reference ``setr_mla_head.py:37``: the concat of per-level MLA
+        # streams must equal ``channels``
+        super().__post_init__()
+        assert self.channels == len(self.in_channels) * self.mla_channels,             (f'channels ({self.channels}) must equal len(in_channels) '
+             f'({len(self.in_channels)}) * mla_channels '
+             f'({self.mla_channels})')
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):

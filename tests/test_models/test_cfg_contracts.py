@@ -220,3 +220,36 @@ def test_cgnet_contracts():
     with pytest.raises(AssertionError):
         build(BACKBONES, 'CGNet', num_blocks=2)
     build(BACKBONES, 'CGNet')
+
+
+# -- head-specific contracts ----------------------------------------------
+
+def test_setr_head_contracts():
+    with pytest.raises(AssertionError):   # int in_channels (multiple_select)
+        build(HEADS, 'SETRMLAHead', in_channels=8, channels=4,
+              num_classes=19, in_index=1)
+    with pytest.raises(AssertionError):   # channels != len*mla_channels
+        build(HEADS, 'SETRMLAHead', in_channels=(8, 8, 8, 8),
+              in_index=(0, 1, 2, 3), channels=8, mla_channels=4,
+              num_classes=19)
+    with pytest.raises(AssertionError):   # kernel_size must be 1/3
+        build(HEADS, 'SETRUPHead', in_channels=4, channels=2,
+              num_classes=19, kernel_size=2)
+    with pytest.raises(AssertionError):   # tuple in_channels w/o transform
+        build(HEADS, 'SETRUPHead', in_channels=(4, 4), in_index=(0, 1),
+              channels=2, num_classes=19)
+    build(HEADS, 'SETRMLAHead', in_channels=(8, 8, 8, 8),
+          in_index=(0, 1, 2, 3), channels=16, mla_channels=4,
+          num_classes=19)
+
+
+def test_psp_uper_segformer_contracts():
+    with pytest.raises(AssertionError):   # pool_scales type
+        build(HEADS, 'PSPHead', in_channels=4, channels=2, num_classes=19,
+              pool_scales=1)
+    with pytest.raises(AssertionError):   # UPer needs list in_channels
+        build(HEADS, 'UPerHead', in_channels=4, channels=2, num_classes=19)
+    with pytest.raises(AssertionError):   # Segformer len mismatch
+        build(HEADS, 'SegformerHead', in_channels=(1, 2, 3),
+              in_index=(0, 1), channels=5, num_classes=2)
+    build(HEADS, 'PSPHead', in_channels=4, channels=2, num_classes=19)
