@@ -43,6 +43,16 @@ class BiSeNetV1(nn.Module):
     act_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # reference ``bisenetv1.py:308-313``
+        assert len(self.spatial_channels) == 4, \
+            (f'Length of spatial_channels should be 4, '
+             f'got {len(self.spatial_channels)}')
+        assert len(self.context_channels) == 3, \
+            (f'Length of context_channels should be 3, '
+             f'got {len(self.context_channels)}')
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ..builder import BACKBONES as REG

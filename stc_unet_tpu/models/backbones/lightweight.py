@@ -167,6 +167,26 @@ class ERFNet(nn.Module):
     act_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # reference ``erfnet.py:245-268`` stage-count invariants
+        n_enc = len(self.enc_downsample_channels)
+        assert n_enc == len(self.dec_upsample_channels) + 1, \
+            'encoder downsample blocks must be decoder upsample blocks + 1'
+        assert n_enc == len(self.enc_stage_non_bottlenecks) + 1, \
+            'encoder downsample blocks must be non-bottleneck stages + 1'
+        assert n_enc == len(self.enc_non_bottleneck_channels) + 1, \
+            'encoder downsample blocks must be non-bottleneck channels + 1'
+        assert self.enc_stage_non_bottlenecks[-1] % \
+            len(self.enc_non_bottleneck_dilations) == 0, \
+            'last encoder stage depth must divide by the dilation cycle'
+        assert len(self.dec_upsample_channels) == \
+            len(self.dec_stages_non_bottleneck), \
+            'decoder upsample blocks must match decoder stages'
+        assert len(self.dec_stages_non_bottleneck) == \
+            len(self.dec_non_bottleneck_channels), \
+            'decoder stages must match decoder channels'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         # encoder

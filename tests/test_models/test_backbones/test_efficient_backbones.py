@@ -65,6 +65,7 @@ def test_erfnet():
     outs = _forward(dict(type='ERFNet',
                          enc_downsample_channels=(4, 8, 16),
                          enc_stage_non_bottlenecks=(2, 2),
+                         enc_non_bottleneck_dilations=(2, 4),
                          enc_non_bottleneck_channels=(8, 16),
                          dec_upsample_channels=(8, 4),
                          dec_stages_non_bottleneck=(1, 1),

@@ -253,3 +253,29 @@ def test_psp_uper_segformer_contracts():
         build(HEADS, 'SegformerHead', in_channels=(1, 2, 3),
               in_index=(0, 1), channels=5, num_classes=2)
     build(HEADS, 'PSPHead', in_channels=4, channels=2, num_classes=19)
+
+
+# -- BiSeNetV1 / ERFNet ----------------------------------------------------
+
+def test_bisenetv1_contracts():
+    bb = dict(type='ResNet', depth=18)
+    with pytest.raises(AssertionError):   # spatial path must be 4 stages
+        build(BACKBONES, 'BiSeNetV1', backbone_cfg=bb,
+              spatial_channels=(16, 16, 16))
+    with pytest.raises(AssertionError):   # context path must be 3 stages
+        build(BACKBONES, 'BiSeNetV1', backbone_cfg=bb,
+              context_channels=(16, 32, 64, 128))
+    build(BACKBONES, 'BiSeNetV1', backbone_cfg=bb)
+
+
+def test_erfnet_contracts():
+    with pytest.raises(AssertionError):   # dec upsample = enc downsample - 1
+        build(BACKBONES, 'ERFNet', enc_downsample_channels=(16, 64, 128),
+              dec_upsample_channels=(128, 64, 16))
+    with pytest.raises(AssertionError):   # enc stages = enc downsample - 1
+        build(BACKBONES, 'ERFNet', enc_stage_non_bottlenecks=(5, 8, 10))
+    with pytest.raises(AssertionError):   # dilation cycle must divide depth
+        build(BACKBONES, 'ERFNet', enc_stage_non_bottlenecks=(5, 9))
+    with pytest.raises(AssertionError):   # dec stages = dec channels
+        build(BACKBONES, 'ERFNet', dec_stages_non_bottleneck=(2, 2, 2))
+    build(BACKBONES, 'ERFNet')
