@@ -173,9 +173,13 @@ class EncoderDecoder(BaseSegmentor):
             return
         import os.path as osp
         if not osp.exists(spec):
-            warnings.warn(f'pretrained checkpoint {spec} not found; '
-                          'keeping random init')
-            return
+            # a local path that doesn't exist is a user error (typo'd
+            # checkpoint path) — raise like mmcv's CheckpointLoader
+            # (reference contract: test_mit.py:83 expects OSError) rather
+            # than silently training from random init
+            raise FileNotFoundError(
+                f'pretrained checkpoint {spec} not found (convert remote '
+                'weights with tools/model_converters/*2jax.py first)')
         from stc_unet_tpu.engine.checkpoint import load_checkpoint_file
         from stc_unet_tpu.utils.backbone_convert import merge_pretrained
         blob = load_checkpoint_file(spec)

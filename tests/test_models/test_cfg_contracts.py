@@ -279,3 +279,30 @@ def test_erfnet_contracts():
     with pytest.raises(AssertionError):   # dec stages = dec channels
         build(BACKBONES, 'ERFNet', dec_stages_non_bottleneck=(2, 2, 2))
     build(BACKBONES, 'ERFNet')
+
+
+# -- pretrained checkpoint loading ----------------------------------------
+
+def test_missing_local_pretrained_raises():
+    """A local pretrained path that doesn't exist raises (mmcv
+    CheckpointLoader contract, reference test_mit.py:83) instead of
+    silently training from random init; remote specs still skip with a
+    warning (converted offline by tools/model_converters)."""
+    import warnings
+    from stc_unet_tpu.models import build_segmentor
+    cfg = dict(
+        type='EncoderDecoder',
+        backbone=dict(type='ResNet', depth=18, base_channels=4,
+                      pretrained='/nonexistent/x.ckpt'),
+        decode_head=dict(type='FCNHead', in_channels=32, in_index=3,
+                         channels=4, num_classes=2),
+        test_cfg=dict(mode='whole'))
+    m = build_segmentor(cfg)
+    with pytest.raises(FileNotFoundError):
+        m.init_weights(seed=0, input_size=(32, 32))
+    cfg['backbone']['pretrained'] = 'open-mmlab://resnet18'
+    m = build_segmentor(cfg)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        m.init_weights(seed=0, input_size=(32, 32))
+    assert any('remote spec' in str(x.message) for x in w)
