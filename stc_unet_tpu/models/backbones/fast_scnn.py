@@ -37,6 +37,20 @@ class FastSCNN(nn.Module):
     dw_act_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # reference ``fast_scnn.py:353-358``: the fusion wiring fixes the
+        # channel equalities
+        if self.global_in_channels != self.higher_in_channels:
+            raise AssertionError('Global Input Channels must be the same '
+                                 'with Higher Input Channels!')
+        if self.global_out_channels != self.lower_in_channels:
+            raise AssertionError('Global Output Channels must be the same '
+                                 'with Lower Input Channels!')
+        assert len(self.global_block_channels) == \
+            len(self.global_block_strides) == 3, \
+            'global_block_channels/strides must have length 3'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')

@@ -235,6 +235,12 @@ class ICNet(nn.Module):
     align_corners: bool = False
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # reference ``icnet.py:71``: the cascade needs a real backbone cfg
+        if self.backbone_cfg is None:
+            raise TypeError('backbone_cfg must be passed from config file!')
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ..builder import BACKBONES as REG

@@ -306,3 +306,18 @@ def test_missing_local_pretrained_raises():
         warnings.simplefilter('always')
         m.init_weights(seed=0, input_size=(32, 32))
     assert any('remote spec' in str(x.message) for x in w)
+
+
+# -- FastSCNN / ICNet ------------------------------------------------------
+
+def test_fastscnn_icnet_contracts():
+    with pytest.raises(AssertionError):   # fusion channel equalities
+        build(BACKBONES, 'FastSCNN', global_out_channels=127,
+              higher_in_channels=64, lower_in_channels=128)
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'FastSCNN', global_in_channels=32,
+              higher_in_channels=64)
+    with pytest.raises(TypeError):        # ICNet needs a backbone cfg
+        build(BACKBONES, 'ICNet', layer_channels=(128, 512))
+    build(BACKBONES, 'FastSCNN')
+    build(BACKBONES, 'ICNet', backbone_cfg=dict(type='ResNet', depth=18))
