@@ -28,6 +28,16 @@ def test_fragments_found():
                          ids=[osp.basename(c) for c in FRAGMENTS])
 def test_fragment_forward(cfg_file):
     cfg = Config.fromfile(cfg_file)
+    # zoo fragments point at mmlab's ./pretrain/*.pth download convention;
+    # the strict loader (FileNotFoundError on missing local paths) is the
+    # behavior under test elsewhere — here we smoke the architecture only
+    if cfg.model.get('backbone', {}).get('pretrained'):
+        cfg.model.backbone.pretrained = None
+    if cfg.model.get('pretrained'):
+        cfg.model.pretrained = None
+    init_cfg = cfg.model.get('backbone', {}).get('init_cfg')
+    if isinstance(init_cfg, dict) and init_cfg.get('type') == 'Pretrained':
+        cfg.model.backbone.init_cfg = None
     if 'test_cfg' in cfg.model:
         model = build_segmentor(cfg.model)
     else:
