@@ -47,9 +47,11 @@ def _concat_dataset(cfg, default_args=None):
         num_split = 0
     num_dset = max(num_split, num_img_dir)
 
+    separate_eval = cfg.get('separate_eval', True)
     datasets = []
     for i in range(num_dset):
         data_cfg = copy.deepcopy(cfg)
+        data_cfg.pop('separate_eval', None)
         if isinstance(img_dir, (list, tuple)):
             data_cfg['img_dir'] = img_dir[i]
         if isinstance(ann_dir, (list, tuple)):
@@ -57,7 +59,7 @@ def _concat_dataset(cfg, default_args=None):
         if isinstance(split, (list, tuple)):
             data_cfg['split'] = split[i]
         datasets.append(build_dataset(data_cfg, default_args))
-    return ConcatDataset(datasets, cfg.get('separate_eval', True))
+    return ConcatDataset(datasets, separate_eval)
 
 
 def build_dataset(cfg, default_args=None):

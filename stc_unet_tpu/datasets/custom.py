@@ -74,6 +74,10 @@ class CustomDataset:
         ) if gt_seg_map_loader_cfg is None else LoadAnnotations(
             **gt_seg_map_loader_cfg)
 
+        if test_mode:
+            assert self.CLASSES is not None, \
+                '`cls.CLASSES` or `classes` should be specified when testing'
+
         # join paths if data_root is specified (reference custom.py:121-130)
         if self.data_root is not None:
             if not osp.isabs(self.img_dir):

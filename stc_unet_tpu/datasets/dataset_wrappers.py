@@ -21,17 +21,16 @@ class ConcatDataset:
         assert len(datasets) > 0
         self.datasets = datasets
         self.separate_eval = separate_eval
+        assert separate_eval in [True, False], \
+            f'separate_eval can only be True or False, but get {separate_eval}'
         self.CLASSES = datasets[0].CLASSES
         self.PALETTE = datasets[0].PALETTE
-        if not separate_eval:
-            if any(isinstance(ds, CityscapesLike) for ds in datasets):
-                raise NotImplementedError(
-                    'Evaluating concatenated CityscapesDataset as a whole '
-                    'is not supported!')
-            if len(set([type(ds) for ds in datasets])) != 1:
-                raise NotImplementedError(
-                    'All the datasets should have same types when '
-                    'separate_eval=False')
+        # reference dataset_wrappers.py:37-40: concatenated Cityscapes is
+        # unsupported regardless of separate_eval
+        if any(isinstance(ds, CityscapesLike) for ds in datasets):
+            raise NotImplementedError(
+                'Evaluating ConcatDataset containing CityscapesDataset'
+                'is not supported!')
         self.cumulative_sizes = np.cumsum([len(d) for d in self.datasets])
 
     def __len__(self):
@@ -39,6 +38,10 @@ class ConcatDataset:
 
     def _locate(self, idx):
         if idx < 0:
+            if -idx > len(self):
+                raise ValueError(
+                    'absolute value of index should not exceed dataset '
+                    'length')
             idx = len(self) + idx
         dataset_idx = bisect.bisect_right(self.cumulative_sizes, idx)
         sample_idx = idx if dataset_idx == 0 else \
@@ -69,6 +72,10 @@ class ConcatDataset:
             return total_eval_results
         # aggregated: pre_eval tuples can be reduced directly; raw results
         # need the concatenated gt stream
+        if len(set([type(ds) for ds in self.datasets])) != 1:
+            raise NotImplementedError(
+                'All the datasets should have same types when '
+                'self.separate_eval=False')
         if np.all([isinstance(r, tuple) and len(r) == 4 for r in results]):
             return self.datasets[0].evaluate(results, logger=logger, **kwargs)
         gt_seg_maps = chain(

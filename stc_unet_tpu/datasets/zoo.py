@@ -248,6 +248,40 @@ class NightDrivingDataset(CityscapesDataset):
                          **kwargs)
 
 
+# Official PascalContext palettes (reference pascal_context.py:31,80)
+_PCONTEXT_PALETTE = [
+    [120, 120, 120], [180, 120, 120], [6, 230, 230], [80, 50, 50], [4, 200, 3],
+    [120, 120, 80], [140, 140, 140], [204, 5, 255], [230, 230, 230],
+    [4, 250, 7], [224, 5, 255], [235, 255, 7], [150, 5, 61], [120, 120, 70],
+    [8, 255, 51], [255, 6, 82], [143, 255, 140], [204, 255, 4], [255, 51, 7],
+    [204, 70, 3], [0, 102, 200], [61, 230, 250], [255, 6, 51], [11, 102, 255],
+    [255, 7, 71], [255, 9, 224], [9, 7, 230], [220, 220, 220], [255, 9, 92],
+    [112, 9, 255], [8, 255, 214], [7, 255, 224], [255, 184, 6], [10, 255, 71],
+    [255, 41, 10], [7, 255, 255], [224, 255, 8], [102, 8, 255], [255, 61, 6],
+    [255, 194, 7], [255, 122, 8], [0, 255, 20], [255, 8, 41], [255, 5, 153],
+    [6, 51, 255], [235, 12, 255], [160, 150, 20], [0, 163, 255],
+    [140, 140, 140], [250, 10, 15], [20, 255, 0], [31, 255, 0], [255, 31, 0],
+    [255, 224, 0], [153, 255, 0], [0, 0, 255], [255, 71, 0], [0, 235, 255],
+    [0, 173, 255], [31, 0, 255]
+]
+
+_PCONTEXT59_PALETTE = [
+    [180, 120, 120], [6, 230, 230], [80, 50, 50], [4, 200, 3], [120, 120, 80],
+    [140, 140, 140], [204, 5, 255], [230, 230, 230], [4, 250, 7],
+    [224, 5, 255], [235, 255, 7], [150, 5, 61], [120, 120, 70], [8, 255, 51],
+    [255, 6, 82], [143, 255, 140], [204, 255, 4], [255, 51, 7], [204, 70, 3],
+    [0, 102, 200], [61, 230, 250], [255, 6, 51], [11, 102, 255], [255, 7, 71],
+    [255, 9, 224], [9, 7, 230], [220, 220, 220], [255, 9, 92], [112, 9, 255],
+    [8, 255, 214], [7, 255, 224], [255, 184, 6], [10, 255, 71], [255, 41, 10],
+    [7, 255, 255], [224, 255, 8], [102, 8, 255], [255, 61, 6], [255, 194, 7],
+    [255, 122, 8], [0, 255, 20], [255, 8, 41], [255, 5, 153], [6, 51, 255],
+    [235, 12, 255], [160, 150, 20], [0, 163, 255], [140, 140, 140],
+    [250, 10, 15], [20, 255, 0], [31, 255, 0], [255, 31, 0], [255, 224, 0],
+    [153, 255, 0], [0, 0, 255], [255, 71, 0], [0, 235, 255], [0, 173, 255],
+    [31, 0, 255]
+]
+
+
 @DATASETS.register_module()
 class PascalContextDataset(CustomDataset):
     """PASCAL Context, 60 classes incl. background."""
@@ -262,7 +296,7 @@ class PascalContextDataset(CustomDataset):
         'road', 'rock', 'sheep', 'shelves', 'sidewalk', 'sign', 'sky',
         'snow', 'sofa', 'table', 'track', 'train', 'tree', 'truck',
         'tvmonitor', 'wall', 'water', 'window', 'wood')
-    PALETTE = _seeded_palette(60)
+    PALETTE = _PCONTEXT_PALETTE
 
     def __init__(self, split, **kwargs):
         super().__init__(img_suffix='.jpg', seg_map_suffix='.png',
@@ -275,7 +309,7 @@ class PascalContextDataset59(CustomDataset):
     """PASCAL Context without background (59 classes, reduce_zero_label)."""
 
     CLASSES = PascalContextDataset.CLASSES[1:]
-    PALETTE = _seeded_palette(59, seed=43)
+    PALETTE = _PCONTEXT59_PALETTE
 
     def __init__(self, split, **kwargs):
         super().__init__(img_suffix='.jpg', seg_map_suffix='.png',
@@ -317,7 +351,7 @@ class COCOStuffDataset(CustomDataset):
         'tree', 'vegetable', 'wall-brick', 'wall-concrete', 'wall-other',
         'wall-panel', 'wall-stone', 'wall-tile', 'wall-wood', 'water-other',
         'waterdrops', 'window-blind', 'window-other', 'wood')
-    PALETTE = _seeded_palette(171, seed=44)
+    PALETTE = get_palette('cocostuff')
 
     def __init__(self, **kwargs):
         super().__init__(img_suffix='.jpg',
