@@ -27,6 +27,14 @@ class BasicConvBlock(nn.Module):
     dilation: int = 1
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
+    dcn: Optional[dict] = None
+    plugins: Optional[list] = None
+
+    def __post_init__(self):
+        # reference ``unet.py:44-45``: neither is implemented there
+        assert self.dcn is None, 'Not implemented yet.'
+        assert self.plugins is None, 'Not implemented yet.'
+        super().__post_init__()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,18 +98,19 @@ class InterpConv(nn.Module):
         conv = ConvModule(self.out_channels, self.kernel_size, self.stride,
                           self.padding, norm_cfg=self.norm_cfg,
                           act_cfg=self.act_cfg, name='conv')
+
+        def _up(x):
+            # align_corners must stay absent for nearest mode (torch
+            # F.interpolate contract carried by ops.resize)
+            return resize(x, scale_factor=up_cfg.get('scale_factor', 2),
+                          mode=up_cfg.get('mode', 'bilinear'),
+                          align_corners=up_cfg.get('align_corners', None),
+                          warning=False)
+
         if self.conv_first:
-            x = conv(x, train=train)
-            x = resize(x, scale_factor=up_cfg.get('scale_factor', 2),
-                       mode=up_cfg.get('mode', 'bilinear'),
-                       align_corners=up_cfg.get('align_corners', False),
-                       warning=False)
+            x = _up(conv(x, train=train))
         else:
-            x = resize(x, scale_factor=up_cfg.get('scale_factor', 2),
-                       mode=up_cfg.get('mode', 'bilinear'),
-                       align_corners=up_cfg.get('align_corners', False),
-                       warning=False)
-            x = conv(x, train=train)
+            x = conv(_up(x), train=train)
         return x
 
 
@@ -118,6 +127,14 @@ class UpConvBlock(nn.Module):
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
     upsample_cfg: Optional[dict] = None
+    dcn: Optional[dict] = None
+    plugins: Optional[list] = None
+
+    def __post_init__(self):
+        # reference ``up_conv_block.py:64-65``: neither is implemented
+        assert self.dcn is None, 'Not implemented yet.'
+        assert self.plugins is None, 'Not implemented yet.'
+        super().__post_init__()
 
     @nn.compact
     def __call__(self, skip, x, train: bool = False):
