@@ -60,10 +60,13 @@ class Resize:
                  ratio_range=None, keep_ratio=True, min_size=None):
         if img_scale is None:
             self.img_scale = None
-        elif isinstance(img_scale, list):
-            self.img_scale = [tuple(s) for s in img_scale]
         else:
-            self.img_scale = [tuple(img_scale)]
+            if isinstance(img_scale, list):
+                self.img_scale = img_scale
+            else:
+                self.img_scale = [img_scale]
+            # reference transforms.py:122 (mmcv.is_list_of(..., tuple))
+            assert all(isinstance(s, tuple) for s in self.img_scale)
         if ratio_range is not None:
             assert self.img_scale is None or len(self.img_scale) == 1
         else:
@@ -274,6 +277,8 @@ class Rerange:
     (reference ``transforms.py:493``)."""
 
     def __init__(self, min_value=0, max_value=255):
+        assert isinstance(min_value, (float, int))
+        assert isinstance(max_value, (float, int))
         assert min_value < max_value
         self.min_value = min_value
         self.max_value = max_value
@@ -299,7 +304,10 @@ class CLAHE:
     (reference ``transforms.py:539``)."""
 
     def __init__(self, clip_limit=40.0, tile_grid_size=(8, 8)):
+        assert isinstance(clip_limit, (float, int))
         self.clip_limit = clip_limit
+        assert isinstance(tile_grid_size, tuple) and all(
+            isinstance(t, int) for t in tile_grid_size)
         assert len(tile_grid_size) == 2
         self.tile_grid_size = tile_grid_size
 
@@ -439,6 +447,7 @@ class AdjustGamma:
     """Gamma LUT correction (reference ``transforms.py:795``)."""
 
     def __init__(self, gamma=1.0):
+        assert isinstance(gamma, (float, int))
         assert gamma > 0
         self.gamma = float(gamma)
 
@@ -554,6 +563,10 @@ class RandomCutOut:
         assert 0 <= prob and prob <= 1
         assert (cutout_shape is None) ^ (cutout_ratio is None), \
             'Either cutout_shape or cutout_ratio should be specified.'
+        assert (isinstance(cutout_shape, (list, tuple))
+                or isinstance(cutout_ratio, (list, tuple)))
+        if isinstance(n_holes, tuple):
+            assert len(n_holes) == 2 and 0 <= n_holes[0] < n_holes[1]
         if seg_fill_in is not None:
             assert (isinstance(seg_fill_in, int) and 0 <= seg_fill_in
                     and seg_fill_in <= 255)

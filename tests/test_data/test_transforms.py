@@ -229,3 +229,94 @@ def test_multiscale_flip_aug_ratios_and_directions():
     dirs = {m['flip_direction'] for m in out['img_metas']
             if m['flip']}
     assert dirs == {'horizontal', 'vertical'}
+
+
+# ---------------------------------------------------------------------------
+# Negative-path constructor contracts (≙ the 31 pytest.raises in reference
+# tests/test_data/test_transform.py).
+# ---------------------------------------------------------------------------
+
+def _raises(cfg):
+    with pytest.raises(AssertionError):
+        PIPELINES.build(cfg)
+
+
+def test_resize_contracts():
+    # img_scale list entries must be tuples (reference test_transform.py:36)
+    _raises(dict(type='Resize', img_scale=[1333, 800], keep_ratio=True))
+    # multi-scale + ratio_range is invalid (:41)
+    _raises(dict(type='Resize', img_scale=[(1333, 800), (1333, 600)],
+                 ratio_range=(0.9, 1.1), keep_ratio=True))
+    # invalid multiscale_mode (:50)
+    _raises(dict(type='Resize', img_scale=[(1333, 800), (1333, 600)],
+                 keep_ratio=True, multiscale_mode='2'))
+
+
+def test_flip_contracts():
+    _raises(dict(type='RandomFlip', prob=1.5))
+    _raises(dict(type='RandomFlip', prob=1, direction='horizonta'))
+
+
+def test_random_crop_contract():
+    _raises(dict(type='RandomCrop', crop_size=(-1, 0)))
+
+
+def test_pad_contract():
+    _raises(dict(type='Pad'))
+
+
+def test_rotate_contracts():
+    _raises(dict(type='RandomRotate', prob=0.5, degree=-10))
+    _raises(dict(type='RandomRotate', prob=0.5, degree=(10., 20., 30.)))
+
+
+def test_rgb2gray_contracts():
+    _raises(dict(type='RGB2Gray', out_channels=-1))
+    _raises(dict(type='RGB2Gray', out_channels=1, weights=1.1))
+
+
+def test_adjust_gamma_contracts():
+    _raises(dict(type='AdjustGamma', gamma=0))
+    _raises(dict(type='AdjustGamma', gamma=[1.2]))
+
+
+def test_rerange_contracts():
+    _raises(dict(type='Rerange', min_value=[0], max_value=[255]))
+    _raises(dict(type='Rerange', min_value=1, max_value=1))
+    # constant image rejected at call time (reference :437)
+    t = PIPELINES.build(dict(type='Rerange', min_value=0, max_value=1))
+    with pytest.raises(AssertionError):
+        t({'img': np.array([[1, 1], [1, 1]])})
+
+
+def test_clahe_contracts():
+    _raises(dict(type='CLAHE', clip_limit=None))
+    _raises(dict(type='CLAHE', tile_grid_size=(8.0, 8.0)))
+    _raises(dict(type='CLAHE', tile_grid_size=(9, 9, 9)))
+
+
+def test_cutout_contracts():
+    _raises(dict(type='RandomCutOut', prob=1.5, n_holes=1))
+    _raises(dict(type='RandomCutOut', prob=0.5, n_holes=(5, 3),
+                 cutout_shape=(8, 8)))
+    _raises(dict(type='RandomCutOut', prob=0.5, n_holes=(3, 4, 5),
+                 cutout_shape=(8, 8)))
+    _raises(dict(type='RandomCutOut', prob=0.5, n_holes=1, cutout_shape=8))
+    _raises(dict(type='RandomCutOut', prob=0.5, n_holes=1, cutout_ratio=0.2))
+    _raises(dict(type='RandomCutOut', prob=0.5, n_holes=1))
+    _raises(dict(type='RandomCutOut', prob=0.5, n_holes=1,
+                 cutout_shape=(2, 2), cutout_ratio=(0.4, 0.4)))
+    _raises(dict(type='RandomCutOut', prob=0.5, n_holes=1,
+                 cutout_shape=(8, 8), seg_fill_in='a'))
+    _raises(dict(type='RandomCutOut', prob=0.5, n_holes=1,
+                 cutout_shape=(8, 8), seg_fill_in=256))
+
+
+def test_mosaic_contracts():
+    _raises(dict(type='RandomMosaic', prob=1.5))
+    _raises(dict(type='RandomMosaic', prob=1, img_scale=640))
+    # missing mix_results rejected at call time (reference :669)
+    t = PIPELINES.build(dict(type='RandomMosaic', prob=1,
+                             img_scale=(10, 12)))
+    with pytest.raises(AssertionError):
+        t(_base_results())
