@@ -22,6 +22,7 @@ def accuracy(pred, target, topk=1, thresh=None, ignore_index=None):
     topks = (topk,) if return_single else topk
     maxk = max(topks)
     assert pred.ndim == target.ndim + 1
+    assert pred.shape[0] == target.shape[0]
     num_classes = pred.shape[-1]
     assert maxk <= num_classes
 

@@ -18,6 +18,13 @@ def sigmoid_focal_loss(pred, target, one_hot_target=None, weight=None,
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
+    if isinstance(alpha, (list, tuple)):
+        # per-class alpha (reference ``focal_loss.py:106-118`` routes a list
+        # alpha through the final weight with alpha=0.5 ×2 inside the pow —
+        # algebraically identical to applying the per-class vector directly,
+        # since alpha enters the focal weight linearly). Channel axis is
+        # last, so a 1-D vector broadcasts per class.
+        alpha = jnp.asarray(alpha, jnp.float32)
     pred_sigmoid = jax.nn.sigmoid(pred)
     one_minus_pt = (1 - pred_sigmoid) * target + pred_sigmoid * (1 - target)
     focal_weight = (alpha * target + (1 - alpha) * (1 - target)) * \
@@ -51,7 +58,18 @@ class FocalLoss:
     def __init__(self, use_sigmoid=True, gamma=2.0, alpha=0.5,
                  reduction='mean', class_weight=None, loss_weight=1.0,
                  loss_name='loss_focal'):
+        # constructor contract ≙ reference ``focal_loss.py:176-190``
         assert use_sigmoid is True, 'only sigmoid focal loss is supported'
+        assert reduction in ('none', 'mean', 'sum'), \
+            "reduction should be 'none', 'mean' or 'sum'"
+        assert isinstance(alpha, (float, list)), \
+            'alpha should be of type float'
+        assert isinstance(gamma, float), 'gamma should be of type float'
+        assert isinstance(loss_weight, float), \
+            'loss_weight should be of type float'
+        assert isinstance(loss_name, str), 'loss_name should be of type str'
+        assert isinstance(class_weight, list) or class_weight is None, \
+            'class_weight must be None or of type list'
         self.use_sigmoid = use_sigmoid
         self.gamma = gamma
         self.alpha = alpha
@@ -62,7 +80,19 @@ class FocalLoss:
 
     def __call__(self, pred, target, weight=None, avg_factor=None,
                  reduction_override=None, ignore_index=255, **kwargs):
+        # forward contract ≙ reference ``focal_loss.py:230-240`` (NHWC:
+        # class axis last, so the spatial-shape check compares
+        # pred[1:-1] vs target[1:])
+        assert isinstance(ignore_index, int), \
+            'ignore_index must be of type int'
         assert reduction_override in (None, 'none', 'mean', 'sum')
+        assert pred.shape == target.shape or \
+            (pred.shape[0] == target.shape[0] and
+             tuple(pred.shape[1:-1]) == tuple(target.shape[1:])), \
+            "The shape of pred doesn't match the shape of target"
+        if self.use_sigmoid is not True:
+            raise NotImplementedError(
+                'only sigmoid focal loss is supported')
         reduction = reduction_override if reduction_override \
             else self.reduction
         num_classes = pred.shape[-1]

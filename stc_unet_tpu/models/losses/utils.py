@@ -43,6 +43,13 @@ def weight_reduce_loss(loss, weight=None, reduction='mean', avg_factor=None):
     a jnp scalar, e.g. the non-ignored pixel count).
     """
     if weight is not None:
+        # shape contract ≙ reference ``utils.py:60-63`` (NHWC: the class
+        # axis is last, so the per-class-broadcast check moves from axis 1
+        # to axis -1)
+        assert weight.ndim == loss.ndim
+        if weight.ndim > 1:
+            assert weight.shape[-1] == 1 or \
+                weight.shape[-1] == loss.shape[-1]
         loss = loss * weight
     if avg_factor is None:
         return reduce_loss(loss, reduction)
