@@ -130,8 +130,10 @@ class BEiT(nn.Module):
     init_cfg: Optional[dict] = None
 
     def __post_init__(self):
-        from ..utils import check_pretrained_init_cfg
+        from ..utils import (check_img_size_out_indices,
+                             check_pretrained_init_cfg)
         check_pretrained_init_cfg(self.pretrained, self.init_cfg)
+        check_img_size_out_indices(self.img_size, self.out_indices)
         super().__post_init__()
 
 
@@ -149,8 +151,10 @@ class BEiT(nn.Module):
         cls = jnp.broadcast_to(cls_token, (b, 1, self.embed_dims))
         tokens = jnp.concatenate([cls.astype(tokens.dtype), tokens], axis=1)
         dpr = list(np.linspace(0, self.drop_path_rate, self.num_layers))
+        raw_indices = ([self.out_indices] if isinstance(self.out_indices, int)
+                       else self.out_indices)  # ref normalizes int → [i]
         out_indices = [i if i >= 0 else self.num_layers + i
-                       for i in self.out_indices]
+                       for i in raw_indices]
         outs = []
         for i in range(self.num_layers):
             tokens = BEiTBlock(self.embed_dims, self.num_heads, (h, w),

@@ -29,6 +29,13 @@ class GroupBottleneck(nn.Module):
 
     expansion = 4
 
+    def __post_init__(self):
+        # ≙ reference Bottleneck ctor contract shared by BottleneckX
+        # (tests/test_backbones/test_resnext.py:11-13)
+        assert self.style in ('pytorch', 'caffe'), \
+            f"style must be 'pytorch' or 'caffe', got {self.style!r}"
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         # static python math, not jnp: under jit this shape computation
@@ -146,6 +153,13 @@ class SplitBottleneck(nn.Module):
     avg_down_stride: bool = True
 
     expansion = 4
+
+    def __post_init__(self):
+        # ≙ reference BottleneckS ctor contract
+        # (tests/test_backbones/test_resnest.py:10-12)
+        assert self.style in ('pytorch', 'caffe'), \
+            f"style must be 'pytorch' or 'caffe', got {self.style!r}"
+        super().__post_init__()
 
     @nn.compact
     def __call__(self, x, train: bool = False):

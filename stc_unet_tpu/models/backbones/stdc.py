@@ -71,6 +71,18 @@ class STDCNet(nn.Module):
 
     arch = {'STDCNet1': [1, 1, 1], 'STDCNet2': [3, 4, 2]}
 
+    def __post_init__(self):
+        # constructor contract ≙ reference ``stdc.py`` STDCNet ctor
+        # (tests/test_backbones/test_stdc.py:67-99)
+        assert self.stdc_type in self.arch, \
+            f'invalid stdc_type {self.stdc_type!r} for STDCNet'
+        assert self.bottleneck_type in ('add', 'cat'), \
+            f"bottleneck_type must be 'add' or 'cat', " \
+            f'got {self.bottleneck_type!r}'
+        assert len(self.channels) == 5, \
+            f'invalid channels length {len(self.channels)} (expected 5)'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')

@@ -96,6 +96,18 @@ class SwinTransformer(nn.Module):
     def __post_init__(self):
         from ..utils import check_pretrained_init_cfg
         check_pretrained_init_cfg(self.pretrained, self.init_cfg)
+        # non-overlapping patch embed: stride of stage 0 must equal the
+        # patch size (reference swin.py ctor, test_swin.py:34-37)
+        assert self.strides[0] == self.patch_size, \
+            'Use non-overlapping patch embed: strides[0] must equal ' \
+            f'patch_size, got {self.strides[0]} vs {self.patch_size}'
+        if isinstance(self.pretrain_img_size, (tuple, list)):
+            # ≙ reference to_2tuple contract (test_swin.py:40-41)
+            assert len(self.pretrain_img_size) <= 2, \
+                f'pretrain_img_size tuple length must be <= 2, ' \
+                f'got {self.pretrain_img_size}'
+        elif not isinstance(self.pretrain_img_size, int):
+            raise TypeError('pretrain_img_size must be an int or a tuple')
         super().__post_init__()
 
     @nn.compact

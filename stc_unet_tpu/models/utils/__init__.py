@@ -39,8 +39,38 @@ def check_pretrained_init_cfg(pretrained, init_cfg):
     Call from a backbone's ``__post_init__``.
     """
     if pretrained is not None:
+        # "not both" is checked BEFORE the type check (mmcv BaseModule
+        # order — reference test_twins.py:96-103 expects AssertionError for
+        # pretrained=123 + init_cfg=<anything>, TypeError only when
+        # init_cfg is None)
+        assert init_cfg is None, \
+            'init_cfg and pretrained cannot be specified at the same time'
         if not isinstance(pretrained, str):
             raise TypeError('pretrained must be a str path or None, '
                             f'got {type(pretrained).__name__}')
-        assert init_cfg is None, \
-            'init_cfg and pretrained cannot be specified at the same time'
+    from collections.abc import Mapping
+    if init_cfg is not None and \
+            not isinstance(init_cfg, (Mapping, list, tuple)):
+        # the reference rejects a non-dict init_cfg with TypeError inside
+        # mmcv BaseModule.init_weights (e.g. test_twins.py:69-71); raising
+        # at construction is this framework's earliest equivalent point.
+        # Mapping, not dict: flax's clone-on-init wraps dict attributes in
+        # FrozenDict.
+        raise TypeError('init_cfg must be a dict, a list of dicts or None, '
+                        f'got {type(init_cfg).__name__}')
+
+
+def check_img_size_out_indices(img_size, out_indices):
+    """ViT-family constructor contract (reference ``vit.py:141-160``,
+    shared verbatim by BEiT/MAE per ``test_beit.py:15-25`` /
+    ``test_mae.py:15-25``): img_size int or ≤2-tuple, out_indices
+    int/list/tuple."""
+    if isinstance(img_size, (tuple, list)):
+        assert len(img_size) <= 2, \
+            f'img_size tuple length must be <= 2, got {img_size}'
+    elif not isinstance(img_size, int):
+        raise TypeError('img_size must be an int or a tuple, '
+                        f'got {type(img_size).__name__}')
+    if not isinstance(out_indices, (int, list, tuple)):
+        raise TypeError('out_indices must be an int, list or tuple, '
+                        f'got {type(out_indices).__name__}')

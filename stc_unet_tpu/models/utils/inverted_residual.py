@@ -28,6 +28,13 @@ class InvertedResidual(nn.Module):
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # ≙ reference ``inverted_residual.py:9`` ctor assert
+        # (tests/test_backbones/test_blocks.py:24-26)
+        assert self.stride in (1, 2), \
+            f'stride must be in [1, 2], got {self.stride}'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
@@ -59,9 +66,24 @@ class InvertedResidualV3(nn.Module):
     act_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # ≙ reference ``inverted_residual.py:102`` ctor assert
+        # (tests/test_backbones/test_blocks.py:67-69)
+        assert self.stride in (1, 2), \
+            f'stride must be in [1, 2], got {self.stride}'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
+        # without an expand conv the depthwise conv runs on the input
+        # directly, so mid_channels must equal in_channels (reference
+        # ``inverted_residual.py:102`` ctor assert; checked lazily here
+        # because in_channels is inferred from the input in this framework)
+        if not self.with_expand_conv:
+            assert self.mid_channels == in_ch, \
+                'mid_channels must equal in_channels when ' \
+                'with_expand_conv is False'
         norm_cfg = self.norm_cfg or dict(type='BN')
         act_cfg = self.act_cfg or dict(type='ReLU')
         use_res = self.stride == 1 and in_ch == self.out_channels
@@ -89,15 +111,40 @@ class InvertedResidualV3(nn.Module):
 
 
 class SELayer(nn.Module):
-    """Squeeze-and-excite (reference ``models/utils/se_layer.py:9``)."""
+    """Squeeze-and-excite (reference ``models/utils/se_layer.py:9``).
+
+    ``act_cfg`` may be one dict (used for both gates) or a 2-tuple of
+    dicts (reduce-act, expand-act), exactly like the reference.
+    """
     ratio: int = 16
+    act_cfg: object = (dict(type='ReLU'),
+                       dict(type='HSigmoid'))
+
+    def __post_init__(self):
+        # ≙ reference ``se_layer.py:9`` ctor asserts
+        # (tests/test_backbones/test_blocks.py:154-156). Mapping, not dict:
+        # flax's clone-on-init wraps dict attributes in FrozenDict.
+        from collections.abc import Mapping
+        if not isinstance(self.act_cfg, Mapping):
+            assert len(self.act_cfg) == 2, \
+                'act_cfg must be a dict or a 2-tuple of dicts'
+            assert all(isinstance(c, Mapping) for c in self.act_cfg), \
+                'act_cfg entries must be dicts'
+        super().__post_init__()
 
     @nn.compact
     def __call__(self, x):
-        from ..bricks import Conv2d, h_sigmoid
+        from collections.abc import Mapping
+
+        from ..bricks import Conv2d, build_activation_layer
+        act_cfg = self.act_cfg
+        if isinstance(act_cfg, Mapping):
+            act_cfg = (act_cfg, act_cfg)
+        act1 = build_activation_layer(act_cfg[0])
+        act2 = build_activation_layer(act_cfg[1])
         c = x.shape[-1]
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.relu(Conv2d(make_divisible(c // self.ratio, 8), 1,
-                           name='conv1')(s))
-        s = h_sigmoid(Conv2d(c, 1, name='conv2')(s))
+        s = act1(Conv2d(make_divisible(c // self.ratio, 8), 1,
+                        name='conv1')(s))
+        s = act2(Conv2d(c, 1, name='conv2')(s))
         return x * s

@@ -200,14 +200,38 @@ def test_ohem_sampler_shape_contract():
     ('VisionTransformer', {}),
 ])
 def test_pretrained_init_cfg_contract(name, kw):
+    # full combination matrix ≙ reference test_twins.py:64-103 (same block
+    # repeated for PCPVT/BEiT/MAE/MiT/ViT in their test files)
     with pytest.raises(TypeError):          # pretrained must be str/None
         build(BACKBONES, name, pretrained=123, **kw)
     with pytest.raises(AssertionError):     # not both at once
         build(BACKBONES, name, pretrained='a.ckpt',
               init_cfg=dict(type='Pretrained', checkpoint='a.ckpt'), **kw)
+    with pytest.raises(AssertionError):     # both given, even if bad types
+        build(BACKBONES, name, pretrained='a.ckpt', init_cfg=123, **kw)
+    with pytest.raises(AssertionError):
+        build(BACKBONES, name, pretrained=123,
+              init_cfg=dict(type='Pretrained', checkpoint='a.ckpt'), **kw)
+    with pytest.raises(AssertionError):
+        build(BACKBONES, name, pretrained=123, init_cfg=123, **kw)
+    with pytest.raises(TypeError):          # unsupported init_cfg type
+        build(BACKBONES, name, pretrained=None, init_cfg=123, **kw)
     build(BACKBONES, name, pretrained='a.ckpt', **kw)   # alone: fine
     build(BACKBONES, name,
           init_cfg=dict(type='Pretrained', checkpoint='a.ckpt'), **kw)
+
+
+@pytest.mark.parametrize('name', ['BEiT', 'MAE'])
+def test_beit_mae_img_size_out_indices(name):
+    # ≙ reference test_beit.py:15-25 / test_mae.py:15-25
+    with pytest.raises(TypeError):
+        build(BACKBONES, name, img_size=512.0)
+    with pytest.raises(TypeError):
+        build(BACKBONES, name, out_indices=1.)
+    with pytest.raises(AssertionError):
+        build(BACKBONES, name, img_size=(224, 224, 224))
+    build(BACKBONES, name, img_size=(224,))
+    build(BACKBONES, name, out_indices=11)   # int is normalized to [i]
 
 
 # -- CGNet -----------------------------------------------------------------
@@ -321,3 +345,73 @@ def test_fastscnn_icnet_contracts():
         build(BACKBONES, 'ICNet', layer_channels=(128, 512))
     build(BACKBONES, 'FastSCNN')
     build(BACKBONES, 'ICNet', backbone_cfg=dict(type='ResNet', depth=18))
+
+
+# -- STDC / Swin / ResNeXt / ResNeSt ----------------------------------------
+
+def test_stdc_contracts():
+    # ≙ reference test_stdc.py:67-99
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'STDCNet', stdc_type='STDCNet3')
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'STDCNet', bottleneck_type='dog')
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'STDCNet',
+              channels=(16, 32, 64, 256, 512, 1024))
+    build(BACKBONES, 'STDCNet')
+
+
+def test_swin_contracts():
+    # ≙ reference test_swin.py:30-41
+    with pytest.raises(TypeError):
+        build(BACKBONES, 'SwinTransformer', pretrained=123)
+    with pytest.raises(AssertionError):   # non-overlapping patch embed
+        build(BACKBONES, 'SwinTransformer', strides=(2, 2, 2, 2),
+              patch_size=4)
+    with pytest.raises(AssertionError):
+        build(BACKBONES, 'SwinTransformer',
+              pretrain_img_size=(112, 112, 112))
+    build(BACKBONES, 'SwinTransformer', pretrain_img_size=112)
+
+
+def test_resnext_resnest_contracts():
+    from stc_unet_tpu.models.backbones.resnext import (GroupBottleneck,
+                                                       SplitBottleneck)
+    # depth must be a known arch (≙ test_resnext.py:43-45,
+    # test_resnest.py:28-30 — KeyError at construction)
+    with pytest.raises(KeyError):
+        build(BACKBONES, 'ResNeXt', depth=18)
+    with pytest.raises(KeyError):
+        build(BACKBONES, 'ResNeSt', depth=18)
+    # bottleneck style contract (≙ test_resnext.py:11-13,
+    # test_resnest.py:10-12)
+    with pytest.raises(AssertionError):
+        GroupBottleneck(64, groups=32, base_width=4, style='tensorflow')
+    with pytest.raises(AssertionError):
+        SplitBottleneck(64, radix=2, style='tensorflow')
+    build(BACKBONES, 'ResNeXt', depth=50, groups=32, base_width=4)
+    build(BACKBONES, 'ResNeSt', depth=200)
+
+
+# -- model-utils blocks (≙ reference test_blocks.py) -------------------------
+
+def test_inverted_residual_contracts():
+    from stc_unet_tpu.models.utils.inverted_residual import (
+        InvertedResidual, InvertedResidualV3, SELayer)
+    with pytest.raises(AssertionError):   # stride (ref test_blocks.py:24-26)
+        InvertedResidual(32, stride=3)
+    with pytest.raises(AssertionError):   # stride (ref :67-69)
+        InvertedResidualV3(32, 16, stride=3)
+    # with_expand_conv=False requires mid == in (ref :71-73); checked at
+    # trace time here because in_channels is inferred from the input
+    bad = InvertedResidualV3(32, 16, with_expand_conv=False)
+    with pytest.raises(AssertionError):
+        bad.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 32)))
+    ok = InvertedResidualV3(32, 32, with_expand_conv=False)
+    ok.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 32)))
+    with pytest.raises(AssertionError):   # act_cfg pair (ref :154-156)
+        SELayer(act_cfg=(dict(type='ReLU'),))
+    # single-dict act_cfg is duplicated for both gates; default matches
+    # the hardcoded ReLU/HSigmoid pair it replaced
+    se = SELayer(ratio=4, act_cfg=dict(type='ReLU'))
+    se.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 16)))
