@@ -309,8 +309,15 @@ class ICNeck(nn.Module):
     align_corners: bool = False
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # ≙ reference ``ic_neck.py:112`` (test_ic_neck.py:47-53)
+        assert len(self.in_channels) == 3, \
+            'Length of input channels must be 3!'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, inputs, train: bool = False):
+        assert len(inputs) == 3, 'Length of input feature maps must be 3!'
         s1, s2, s4 = inputs
         fused24, up4 = CascadeFeatureFusion(
             self.out_channels, norm_cfg=self.norm_cfg,

@@ -47,6 +47,12 @@ class ASPPHead(BaseDecodeHead):
 
     dilations: Sequence[int] = (1, 6, 12, 18)
 
+    def __post_init__(self):
+        # ≙ reference ``aspp_head.py:67`` (test_aspp_head.py:11-13)
+        assert isinstance(self.dilations, (list, tuple)), \
+            'dilations must be a list/tuple'
+        super().__post_init__()
+
     def _aspp_forward(self, x, train: bool, separable: bool = False):
         # global image pool branch
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)

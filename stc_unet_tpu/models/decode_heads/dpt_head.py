@@ -101,7 +101,14 @@ class DPTHead(BaseDecodeHead):
     patch_size: int = 16
     expand_channels: bool = False
     in_index: object = (0, 1, 2, 3)
-    input_transform: str = 'multiple_select'
+
+    def __post_init__(self):
+        # ≙ reference ``dpt_head.py:35``; input_transform is NOT defaulted
+        # (the reference requires configs to pass 'multiple_select'
+        # explicitly — test_dpt_head.py:10-16 pins the failure otherwise)
+        assert self.readout_type in ('ignore', 'add', 'project'), \
+            f'invalid readout_type {self.readout_type!r}'
+        super().__post_init__()
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):

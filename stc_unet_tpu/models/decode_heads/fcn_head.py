@@ -21,13 +21,21 @@ class FCNHead(BaseDecodeHead):
     concat_input: bool = True
     dilation: int = 1
 
+    def __post_init__(self):
+        # ≙ reference ``fcn_head.py:30,36`` (test_fcn_head.py:13-15)
+        assert self.num_convs >= 0 and self.dilation > 0 and \
+            isinstance(self.dilation, int), \
+            f'invalid num_convs {self.num_convs} / dilation {self.dilation}'
+        if self.num_convs == 0:
+            assert (not isinstance(self.in_channels, (list, tuple)) and
+                    self.in_channels == self.channels), \
+                'num_convs=0 requires in_channels == channels'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         x = self._transform_inputs(inputs)
         feats = x
-        if self.num_convs == 0:
-            assert (not isinstance(self.in_channels, (list, tuple)) and
-                    self.in_channels == self.channels)
         conv_padding = (self.kernel_size // 2) * self.dilation
         for i in range(self.num_convs):
             feats = ConvModule(

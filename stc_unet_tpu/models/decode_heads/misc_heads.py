@@ -128,6 +128,12 @@ class DMHead(BaseDecodeHead):
     filter_sizes: Sequence[int] = (1, 3, 5, 7)
     fusion: bool = False
 
+    def __post_init__(self):
+        # ≙ reference ``dm_head.py:109`` (test_dm_head.py:11-13)
+        assert isinstance(self.filter_sizes, (list, tuple)), \
+            'filter_sizes must be a list/tuple'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         x = self._transform_inputs(inputs)
@@ -186,6 +192,12 @@ class APCHead(BaseDecodeHead):
     """Adaptive pyramid context head (reference ``apc_head.py``, 159)."""
     pool_scales: Sequence[int] = (1, 2, 3, 6)
     fusion: bool = True
+
+    def __post_init__(self):
+        # ≙ reference ``apc_head.py:127`` (test_apc_head.py:11-13)
+        assert isinstance(self.pool_scales, (list, tuple)), \
+            'pool_scales must be a list/tuple'
+        super().__post_init__()
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -322,9 +334,21 @@ class LRASPPHead(BaseDecodeHead):
     in_index: object = (0, 1, 2)
     input_transform: str = 'multiple_select'
 
+    def __post_init__(self):
+        # ≙ reference ``lraspp_head.py:26-31`` (test_lraspp_head.py:9-32)
+        if self.input_transform != 'multiple_select':
+            raise ValueError(
+                "in Lite R-ASPP (LRASPP) head, input_transform must be "
+                f"'multiple_select'. But received {self.input_transform!r}")
+        assert isinstance(self.branch_channels, (list, tuple)) and \
+            all(isinstance(c, int) for c in self.branch_channels), \
+            'branch_channels must be a tuple of ints'
+        assert len(self.branch_channels) == len(self.in_channels) - 1, \
+            'need one branch per non-final input level'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, inputs, train: bool = False):
-        assert self.input_transform == 'multiple_select'
         inputs = self._transform_inputs(inputs)
         x = inputs[-1]
         feats = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,

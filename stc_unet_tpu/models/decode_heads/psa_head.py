@@ -26,9 +26,14 @@ class PSAHead(BaseDecodeHead):
     normalization_factor: float = 1.0
     psa_softmax: bool = True
 
+    def __post_init__(self):
+        # ≙ reference ``psa_head.py:47`` (ctor-time, test_psa_head.py:11-18)
+        assert self.psa_type in ('collect', 'distribute', 'bi-direction'), \
+            f'invalid psa_type {self.psa_type!r}'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, inputs, train: bool = False):
-        assert self.psa_type in ('collect', 'distribute', 'bi-direction')
         x = self._transform_inputs(inputs)
         identity = x
         out_list = []

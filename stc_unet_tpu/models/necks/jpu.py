@@ -26,6 +26,18 @@ class JPU(nn.Module):
     act_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # ≙ reference ``jpu.py:55-65`` (test_jpu.py:32-34)
+        assert isinstance(self.in_channels, (list, tuple)), \
+            'in_channels must be a tuple'
+        assert isinstance(self.dilations, (list, tuple)), \
+            'dilations must be a tuple'
+        if self.end_level != -1:
+            assert self.end_level <= len(self.in_channels), \
+                f'end_level {self.end_level} exceeds the number of ' \
+                f'input levels ({len(self.in_channels)})'
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         assert len(inputs) == len(self.in_channels)

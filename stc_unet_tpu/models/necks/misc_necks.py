@@ -55,8 +55,17 @@ class Feature2Pyramid(nn.Module):
     rescales: Sequence[float] = (4, 2, 1, 0.5)
     norm_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        # ≙ reference ``featurepyramid.py:50`` — only these five rescale
+        # factors have a defined op (test_feature2pyramid.py:36-38)
+        for k in self.rescales:
+            if k not in (4, 2, 1, 0.5, 0.25):
+                raise KeyError(f'invalid {k} for feature2pyramid')
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, inputs, train: bool = False):
+        assert len(inputs) == len(self.rescales)
         outs = []
         for i, k in enumerate(self.rescales):
             x = inputs[i]

@@ -415,3 +415,69 @@ def test_inverted_residual_contracts():
     # the hardcoded ReLU/HSigmoid pair it replaced
     se = SELayer(ratio=4, act_cfg=dict(type='ReLU'))
     se.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 16)))
+
+
+# -- head-specific contracts, batch 2 ---------------------------------------
+
+def test_lraspp_head_contracts():
+    # ≙ reference test_lraspp_head.py:9-32
+    common = dict(in_channels=(4, 4, 123), in_index=(0, 1, 2), channels=32,
+                  num_classes=19)
+    with pytest.raises(ValueError):
+        build(HEADS, 'LRASPPHead', input_transform='resize_concat', **common)
+    with pytest.raises(AssertionError):
+        build(HEADS, 'LRASPPHead', branch_channels=64,
+              input_transform='multiple_select', **common)
+    with pytest.raises(AssertionError):   # needs len(in_channels)-1 branches
+        build(HEADS, 'LRASPPHead', branch_channels=(8, 8, 8),
+              input_transform='multiple_select', **common)
+    build(HEADS, 'LRASPPHead', input_transform='multiple_select', **common)
+
+
+def test_misc_head_ctor_contracts():
+    # pool/filter/dilation sequences must be list|tuple, and type-specific
+    # enums are validated at construction
+    with pytest.raises(AssertionError):   # ≙ test_psp_head.py:11-13
+        build(HEADS, 'PSPHead', in_channels=4, channels=2, num_classes=19,
+              pool_scales=1)
+    with pytest.raises(AssertionError):   # ≙ test_uper_head.py:11-13
+        build(HEADS, 'UPerHead', in_channels=4, channels=2, num_classes=19)
+    with pytest.raises(AssertionError):   # ≙ test_psa_head.py:11-18
+        build(HEADS, 'PSAHead', in_channels=4, channels=2, num_classes=19,
+              mask_size=(13, 13), psa_type='gather')
+    with pytest.raises(AssertionError):   # ≙ test_fcn_head.py:13-15
+        build(HEADS, 'FCNHead', num_classes=19, num_convs=-1)
+    with pytest.raises(AssertionError):   # ≙ test_dpt_head.py:10-16
+        build(HEADS, 'DPTHead', in_channels=[768] * 4, channels=4,
+              num_classes=19, in_index=[0, 1, 2, 3])
+    with pytest.raises(AssertionError):   # readout enum (dpt_head.py:35)
+        build(HEADS, 'DPTHead', in_channels=[768] * 4, channels=4,
+              num_classes=19, in_index=[0, 1, 2, 3],
+              input_transform='multiple_select', readout_type='weird')
+    with pytest.raises(AssertionError):   # ≙ test_dm_head.py:11-13
+        build(HEADS, 'DMHead', in_channels=8, channels=4, num_classes=19,
+              filter_sizes=1)
+    with pytest.raises(AssertionError):   # ≙ test_apc_head.py:11-13
+        build(HEADS, 'APCHead', in_channels=8, channels=2, num_classes=19,
+              pool_scales=1)
+    with pytest.raises(AssertionError):   # ≙ test_aspp_head.py:11-13
+        build(HEADS, 'ASPPHead', in_channels=8, channels=4, num_classes=19,
+              dilations=1)
+    with pytest.raises(AssertionError):   # ≙ test_segformer_head.py:9-12
+        build(HEADS, 'SegformerHead', in_channels=(1, 2, 3), in_index=(0, 1),
+              channels=5, num_classes=2)
+
+
+def test_neck_ctor_contracts():
+    from stc_unet_tpu.models import NECKS
+    with pytest.raises(AssertionError):   # ≙ test_jpu.py:32-34
+        build(NECKS, 'JPU', in_channels=(256, 64, 128), start_level=0,
+              end_level=5)
+    with pytest.raises(AssertionError):   # ≙ test_ic_neck.py:47-53
+        build(NECKS, 'ICNeck', in_channels=(16, 64, 64, 64), out_channels=32)
+    with pytest.raises(KeyError):         # ≙ test_feature2pyramid.py:36-38
+        build(NECKS, 'Feature2Pyramid', embed_dim=64,
+              rescales=[4, 2, 0.25, 0])
+    build(NECKS, 'JPU', in_channels=(64, 128, 256), start_level=1,
+          end_level=-1)
+    build(NECKS, 'Feature2Pyramid', embed_dim=64, rescales=[4, 2, 1, 0.5])

@@ -130,6 +130,7 @@ def test_dpt_readout_types():
                                channels=8, embed_dims=8,
                                post_process_channels=[4, 8, 16, 32],
                                readout_type=readout, num_classes=3,
+                               input_transform='multiple_select',
                                norm_cfg=dict(type='BN')))
         variables = head.init(jax.random.PRNGKey(0), feats, train=True)
         out = head.apply(variables, feats, train=False)
@@ -157,6 +158,7 @@ def test_dpt_expand_channels_scales_widths():
                            channels=8, embed_dims=8,
                            post_process_channels=[4, 4, 4, 4],
                            expand_channels=True, num_classes=3,
+                           input_transform='multiple_select',
                            norm_cfg=dict(type='BN')))
     variables = head.init(jax.random.PRNGKey(0), feats, train=True)
     flat = jax.tree_util.tree_leaves_with_path(variables['params'])
