@@ -47,6 +47,14 @@ def layer_decay_multipliers(params, num_layers: int = 12,
                             decay_type: str = 'layer_wise',
                             model_kind: str = 'vit'):
     """Per-leaf (lr_mult, decay_mult) pytrees for layer-wise LR decay."""
+    if model_kind not in ('convnext', 'vit', 'beit', 'mae'):
+        # ≙ reference ``layer_decay_optimizer_constructor.py`` add_params:
+        # only ConvNeXt/BEiT/MAE backbones have layer-id rules; anything
+        # else raises (tests/test_core/
+        # test_layer_decay_optimizer_constructor.py:243-250)
+        raise NotImplementedError(
+            f'layer-wise LR decay is not supported for {model_kind!r} '
+            "backbones (supported: 'convnext', 'beit'/'mae'/'vit'-style)")
     get_id = get_layer_id_for_convnext if model_kind == 'convnext' \
         else get_layer_id_for_vit
     max_id = num_layers + 2

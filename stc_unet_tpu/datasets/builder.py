@@ -37,14 +37,25 @@ def _concat_dataset(cfg, default_args=None):
     num_img_dir = len(img_dir) if isinstance(img_dir, (list, tuple)) else 1
     if ann_dir is not None:
         num_ann_dir = len(ann_dir) if isinstance(ann_dir, (list, tuple)) else 1
-        assert num_ann_dir == num_img_dir or num_ann_dir <= 1
     else:
         num_ann_dir = 0
     if split is not None:
         num_split = len(split) if isinstance(split, (list, tuple)) else 1
-        assert num_split == num_img_dir or num_split <= 1
     else:
         num_split = 0
+    # exact reference count contract (``builder.py:46-50``, pinned by
+    # tests/test_data/test_dataset_builder.py:106-135)
+    if num_img_dir > 1:
+        assert num_img_dir == num_ann_dir or num_ann_dir == 0, \
+            'len(ann_dir) should be zero or len(img_dir) when ' \
+            'len(img_dir) > 1'
+        assert num_img_dir == num_split or num_split == 0, \
+            'len(split) should be zero or len(img_dir) when ' \
+            'len(img_dir) > 1'
+    else:
+        assert num_split == num_ann_dir or num_ann_dir <= 1, \
+            'len(split) should equal len(ann_dir) when len(img_dir) == 1 ' \
+            'and len(ann_dir) > 1'
     num_dset = max(num_split, num_img_dir)
 
     separate_eval = cfg.get('separate_eval', True)

@@ -17,14 +17,25 @@ class MultiScaleFlipAug:
 
     def __init__(self, transforms, img_scale, img_ratios=None, flip=False,
                  flip_direction='horizontal'):
+        # ctor contract ≙ reference ``test_time_aug.py:60-100``
+        # (tests/test_data/test_tta.py:13-40,153-165)
+        if flip:
+            trans_index = {t['type']: i for i, t in enumerate(transforms)}
+            if 'RandomFlip' in trans_index and 'Pad' in trans_index:
+                assert trans_index['RandomFlip'] < trans_index['Pad'], \
+                    'Pad must be executed after RandomFlip when flip is True'
         self.transforms = Compose(transforms)
         if img_ratios is not None:
             img_ratios = img_ratios if isinstance(img_ratios, list) \
                 else [img_ratios]
+            assert all(isinstance(r, float) for r in img_ratios), \
+                'img_ratios must be float(s)'
         if img_scale is None:
             # mode 2: ratios on the original image shape
             self.img_scale = None
-            assert img_ratios is not None
+            assert isinstance(img_ratios, list) and \
+                all(isinstance(r, float) for r in img_ratios), \
+                'img_scale=None requires float img_ratios'
             self.img_ratios = img_ratios
         elif isinstance(img_scale, tuple) and img_ratios is not None:
             # mode 3: one scale × ratios
@@ -38,12 +49,20 @@ class MultiScaleFlipAug:
             self.img_scale = img_scale if isinstance(img_scale, list) \
                 else [img_scale]
             self.img_ratios = None
+        assert self.img_scale is None or \
+            all(isinstance(s, tuple) for s in self.img_scale), \
+            'img_scale must be None, a tuple or a list of tuples'
         self.flip = flip
         self.flip_direction = flip_direction if isinstance(
             flip_direction, list) else [flip_direction]
+        assert all(isinstance(d, str) for d in self.flip_direction)
         if not self.flip and self.flip_direction != ['horizontal']:
             warnings.warn(
                 'flip_direction has no effect when flip is set to False')
+        if self.flip and not any(
+                t['type'] == 'RandomFlip' for t in transforms):
+            warnings.warn(
+                'flip has no effect when RandomFlip is not in transforms')
 
     def __call__(self, results):
         aug_data = []

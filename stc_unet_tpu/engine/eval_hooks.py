@@ -34,6 +34,16 @@ class EvalHook(Hook):
                  test_fn=None, greater_keys=None, less_keys=None,
                  out_dir=None, file_client_args=None, pre_eval=True,
                  **eval_kwargs):
+        # ≙ mmcv EvalHook's "dataloader must be a pytorch DataLoader"
+        # TypeError (reference tests/test_eval_hook.py:43-51): anything
+        # without the loader protocol (len + iteration over batches) is
+        # rejected up front rather than failing mid-training
+        if not (hasattr(dataloader, '__iter__')
+                and hasattr(dataloader, '__len__')
+                and hasattr(dataloader, 'dataset')):
+            raise TypeError('dataloader must be a DataLoader (built by '
+                            'build_dataloader), got '
+                            f'{type(dataloader).__name__}')
         self.dataloader = dataloader
         self.interval = interval
         self.start = start
