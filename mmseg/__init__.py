@@ -6,7 +6,7 @@ import sys
 
 import stc_unet_tpu
 from stc_unet_tpu import apis, core, datasets, engine, models, ops, utils
-from stc_unet_tpu.version import __version__, version_info
+from stc_unet_tpu.version import __version__, digit_version, version_info
 
 # expose submodules under the mmseg namespace
 for _name, _mod in [('apis', apis), ('core', core), ('datasets', datasets),
@@ -14,5 +14,5 @@ for _name, _mod in [('apis', apis), ('core', core), ('datasets', datasets),
                     ('utils', utils)]:
     sys.modules[f'mmseg.{_name}'] = _mod
 
-__all__ = ['__version__', 'version_info', 'apis', 'core', 'datasets',
-           'engine', 'models', 'ops', 'utils']
+__all__ = ['__version__', 'version_info', 'digit_version', 'apis', 'core',
+           'datasets', 'engine', 'models', 'ops', 'utils']
