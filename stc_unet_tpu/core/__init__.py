@@ -8,6 +8,7 @@ from .optimizers import (OPTIMIZER_BUILDERS, OPTIMIZERS,
                          build_lr_schedule, build_optimizer,
                          build_optimizer_constructor, build_optimizer_tx,
                          layer_decay_multipliers)
+from .hook import MMSegWandbHook
 from .seg import (PIXEL_SAMPLERS, BasePixelSampler, OHEMPixelSampler,
                   build_pixel_sampler)
 from .utils import add_prefix
@@ -21,5 +22,5 @@ __all__ = [
     'LayerDecayOptimizerConstructor', 'LearningRateDecayOptimizerConstructor',
     'layer_decay_multipliers',
     'PIXEL_SAMPLERS', 'BasePixelSampler', 'OHEMPixelSampler',
-    'build_pixel_sampler', 'add_prefix'
+    'build_pixel_sampler', 'add_prefix', 'MMSegWandbHook'
 ]

@@ -13,12 +13,15 @@ from .zoo import (ADE20KDataset, COCOStuffDataset, ChaseDB1Dataset,
                   PascalContextDataset59, PascalVOCDataset, PotsdamDataset,
                   STAREDataset, iSAIDDataset)
 from . import pipelines  # noqa: F401  (register transforms)
+from . import samplers  # noqa: F401  (mmseg.datasets.samplers surface)
+from .samplers import DistributedSampler
 from .device_pipeline import (DeviceBatchLoader, make_device_train_pipeline,
                               split_train_pipeline,
                               wrap_loader_with_device_pipeline)
 
 __all__ = [
-    'DATASETS', 'PIPELINES', 'DataLoader', 'EpochSampler', 'build_dataloader',
+    'DATASETS', 'PIPELINES', 'DataLoader', 'DistributedSampler',
+    'EpochSampler', 'build_dataloader',
     'build_dataset', 'collate', 'inject_img_cache', 'worker_init_fn',
     'DeviceBatchLoader', 'make_device_train_pipeline', 'split_train_pipeline',
     'wrap_loader_with_device_pipeline', 'CityscapesDataset',

@@ -1,6 +1,7 @@
 from .compose import Compose
 from .formatting import (Collect, DefaultFormatBundle, ImageToTensor,
-                         ToDataContainer, ToTensor, Transpose, to_numpy)
+                         ToDataContainer, ToTensor, Transpose, to_numpy,
+                         to_tensor)
 from .loading import LoadAnnotations, LoadImage, LoadImageFromFile
 from .test_time_aug import MultiScaleFlipAug
 from .transforms import (CLAHE, AdjustGamma, Normalize, Pad,
@@ -10,7 +11,7 @@ from .transforms import (CLAHE, AdjustGamma, Normalize, Pad,
 
 __all__ = [
     'Compose', 'Collect', 'DefaultFormatBundle', 'ImageToTensor', 'ToTensor', 'ToDataContainer',
-    'Transpose', 'to_numpy', 'LoadAnnotations', 'LoadImage',
+    'Transpose', 'to_numpy', 'to_tensor', 'LoadAnnotations', 'LoadImage',
     'LoadImageFromFile', 'MultiScaleFlipAug', 'CLAHE', 'AdjustGamma',
     'Normalize', 'Pad', 'PhotoMetricDistortion', 'RandomCrop', 'RandomCutOut',
     'RandomFlip', 'RandomMosaic', 'RandomRotate', 'Rerange', 'Resize',

@@ -18,6 +18,12 @@ def to_numpy(data):
     return np.asarray(data)
 
 
+#: API-parity alias (reference ``formatting.py:14`` exposes ``to_tensor``
+#: converting to torch.Tensor; this framework's model-ready array type is
+#: numpy/NHWC — same contract, TPU-native container).
+to_tensor = to_numpy
+
+
 @PIPELINES.register_module()
 class ToTensor:
     """Convert listed keys to arrays (reference ``formatting.py:38``)."""

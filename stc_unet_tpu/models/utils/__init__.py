@@ -13,7 +13,8 @@ __all__ = [
     'InvertedResidual', 'InvertedResidualV3', 'SELayer', 'make_divisible',
     'SelfAttentionBlock', 'DropPath', 'PatchEmbed', 'PatchMerging',
     'SwinTransformerBlock', 'WindowAttention', 'drop_path',
-    'window_partition', 'window_reverse', 'check_pretrained_init_cfg'
+    'window_partition', 'window_reverse', 'check_pretrained_init_cfg',
+    'nchw_to_nlc', 'nlc_to_nchw', 'nchw2nlc2nchw', 'nlc2nchw2nlc'
 ]
 
 
@@ -29,6 +30,33 @@ def nlc_to_nchw(x, hw_shape):
     n, l, c = x.shape
     assert l == h * w
     return x.reshape(n, h, w, c)
+
+
+def nchw2nlc2nchw(module, x, contiguous=False, **kwargs):
+    """Run a token-sequence ``module`` over a feature map (NHWC-native ≙ of
+    reference ``models/utils/shape_convert.py:32``): flatten (N, H, W, C) →
+    (N, L, C), apply ``module`` (extra kwargs pass through), reshape back.
+
+    ``contiguous`` is accepted for API parity; XLA owns physical layout, so
+    it is a no-op here (the reference inserts ``.contiguous()`` calls).
+    """
+    n, h, w, c = x.shape
+    x = x.reshape(n, h * w, c)
+    x = module(x, **kwargs)
+    return x.reshape(n, h, w, -1)
+
+
+def nlc2nchw2nlc(module, x, hw_shape, contiguous=False, **kwargs):
+    """Run a feature-map ``module`` over a token sequence (NHWC-native ≙ of
+    reference ``models/utils/shape_convert.py:74``): reshape (N, L, C) →
+    (N, H, W, C), apply ``module``, flatten back. ``contiguous`` is a no-op
+    (see :func:`nchw2nlc2nchw`)."""
+    h, w = hw_shape
+    n, l, c = x.shape
+    assert l == h * w, "The seq_len doesn't match H, W"
+    x = x.reshape(n, h, w, c)
+    x = module(x, **kwargs)
+    return x.reshape(n, h * w, -1)
 
 
 def check_pretrained_init_cfg(pretrained, init_cfg):
