@@ -83,6 +83,12 @@ def test_dist_eval_hook_defaults_to_multi_gpu_test():
 
     class _Loader:
         dataset = None
+
+        def __iter__(self):
+            return iter([])
+
+        def __len__(self):
+            return 0
     dist_hook = DistEvalHook(_Loader(), interval=1)
     assert dist_hook.test_fn is multi_gpu_test
     assert EvalHook(_Loader(), interval=1).test_fn is single_gpu_test
@@ -106,6 +112,9 @@ def test_dist_eval_hook_merges_before_evaluate(tmp_path):
 
     class _Loader:
         dataset = _Dataset()
+
+        def __iter__(self):
+            return iter([])
 
         def __len__(self):
             return 4
