@@ -60,8 +60,14 @@ class _AliasFinder(importlib.abc.MetaPathFinder):
         real = _CANON + fullname[len('mmseg'):]
         try:
             canonical = importlib.import_module(real)
-        except ImportError:
-            return None
+        except ModuleNotFoundError as e:
+            # only "the canonical module doesn't exist" maps to
+            # mmseg-name-not-found; a missing DEPENDENCY inside a real
+            # canonical module must surface as itself, not be masked as
+            # 'No module named mmseg.X'
+            if e.name == real or real.startswith(f'{e.name}.'):
+                return None
+            raise
         return importlib.machinery.ModuleSpec(
             fullname, _AliasLoader(canonical),
             is_package=hasattr(canonical, '__path__'))

@@ -60,8 +60,11 @@ class DistributedSampler:
         else:
             indices = list(range(len(self.dataset)))
         # pad to evenly divisible by wrapping (reference
-        # ``distributed_sampler.py:66``)
-        indices += indices[:(self.total_size - len(indices))]
+        # ``distributed_sampler.py:66``; unlike the reference's single-wrap
+        # slice, repeat as needed so num_replicas > 2*len(dataset) — a tiny
+        # debug split on a large mesh — shards instead of crashing)
+        while len(indices) < self.total_size:
+            indices += indices[:(self.total_size - len(indices))]
         assert len(indices) == self.total_size
         indices = indices[self.rank:self.total_size:self.num_replicas]
         assert len(indices) == self.num_samples

@@ -97,17 +97,11 @@ class VisionTransformer(nn.Module):
     init_cfg: Optional[dict] = None
 
     def __post_init__(self):
-        # reference ``vit.py:141-160`` constructor contract
-        if isinstance(self.img_size, (tuple, list)):
-            assert len(self.img_size) <= 2, \
-                f'img_size tuple length must be <= 2, got {self.img_size}'
-        elif not isinstance(self.img_size, int):
-            raise TypeError('img_size must be an int or a tuple, '
-                            f'got {type(self.img_size).__name__}')
-        if not isinstance(self.out_indices, (int, list, tuple)):
-            raise TypeError('out_indices must be an int, list or tuple, '
-                            f'got {type(self.out_indices).__name__}')
-        from ..utils import check_pretrained_init_cfg
+        # reference ``vit.py:141-160`` constructor contract (shared with
+        # BEiT/MAE which copy it verbatim)
+        from ..utils import (check_img_size_out_indices,
+                             check_pretrained_init_cfg)
+        check_img_size_out_indices(self.img_size, self.out_indices)
         check_pretrained_init_cfg(self.pretrained, self.init_cfg)
         assert self.with_cls_token or not self.output_cls_token, \
             'with_cls_token must be True when output_cls_token is True'

@@ -53,6 +53,16 @@ def test_no_shuffle_is_strided_arange():
     assert list(s) == [1, 3, 5, 7]
 
 
+def test_tiny_dataset_many_replicas():
+    """num_replicas > 2*len(dataset) must shard by repetition, not crash
+    (the reference's single-wrap pad slice would assert here)."""
+    data = list(range(3))
+    shards = [list(DistributedSampler(data, num_replicas=8, rank=r, seed=0))
+              for r in range(8)]
+    assert all(len(s) == 1 for s in shards)
+    assert set(i for s in shards for i in s) == {0, 1, 2}
+
+
 def test_rank_validation():
     with pytest.raises(ValueError):
         DistributedSampler(list(range(4)), num_replicas=2, rank=2)
