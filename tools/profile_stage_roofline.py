@@ -53,8 +53,69 @@ def conv_probe(n, hw, cin, cout, k=3, iters=10):
     return dt * 1e3, flops / dt / 1e12
 
 
+def bwd_conv_probe(n, hw, cin, cout, k=3, iters=10, wrt='both'):
+    """Backward pass of the same conv: grad wrt input, filter, or both.
+
+    FLOPs: grad-input and grad-filter are each one conv-sized contraction
+    (2*n*hw²*cin*cout*k² MACs·2), so 'both' counts 2× the forward FLOPs.
+    """
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(n, hw, hw, cin), jnp.bfloat16)
+    w = jnp.asarray(rs.rand(k, k, cin, cout) * 0.1, jnp.bfloat16)
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    if wrt == 'input':
+        f = jax.jit(lambda x, w: jax.grad(
+            lambda x: jnp.sum(conv(x, w).astype(jnp.float32)))(x))
+        mult = 1
+    elif wrt == 'filter':
+        f = jax.jit(lambda x, w: jax.grad(
+            lambda w: jnp.sum(conv(x, w).astype(jnp.float32)))(w))
+        mult = 1
+    else:
+        def both(x, w):
+            gx, gw = jax.grad(
+                lambda x, w: jnp.sum(conv(x, w).astype(jnp.float32)),
+                argnums=(0, 1))(x, w)
+            # one scalar per output so the timing readback stays tiny
+            return jnp.sum(gx.astype(jnp.float32)) + \
+                jnp.sum(gw.astype(jnp.float32))
+        f = jax.jit(both)
+        mult = 2
+    dt = time_fn(f, x, w, iters=iters)
+    flops = mult * 2 * n * hw * hw * cin * cout * k * k
+    return dt * 1e3, flops / dt / 1e12
+
+
 def main():
     out = {}
+
+    if '--bwd' in sys.argv:
+        # Backward lane experiment (round 3, train-step evidence): does the
+        # 64-ch lane floor apply to the conv backward too, and at what rate
+        # do grad-input / grad-filter run relative to forward?
+        n, hw = 8, 512  # the train step's stem geometry (B=8 512²)
+        for cin, cout, tag in ((64, 64, 'c64'), (128, 128, 'c128')):
+            fms, ftf = conv_probe(n, hw, cin, cout, iters=30)
+            ims, itf = bwd_conv_probe(n, hw, cin, cout, wrt='input',
+                                      iters=30)
+            wms, wtf = bwd_conv_probe(n, hw, cin, cout, wrt='filter',
+                                      iters=30)
+            bms, btf = bwd_conv_probe(n, hw, cin, cout, wrt='both',
+                                      iters=30)
+            out[f'bwd_{tag}'] = dict(
+                fwd=dict(ms=round(fms, 2), tflops=round(ftf, 1)),
+                grad_input=dict(ms=round(ims, 2), tflops=round(itf, 1)),
+                grad_filter=dict(ms=round(wms, 2), tflops=round(wtf, 1)),
+                grad_both=dict(ms=round(bms, 2), tflops=round(btf, 1)),
+                bwd_over_fwd_rate=round(btf / ftf, 2))
+            print('PARTIAL', json.dumps(out), flush=True)
+        print(json.dumps(out, indent=1))
+        return
 
     # -- decisive lane experiment at the stem geometry (126×256², 64ch) ----
     # (64→64 vs zero-padded 128→128: 4× the FLOPs; lane-limited ⇒ ~equal
