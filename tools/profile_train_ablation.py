@@ -56,7 +56,7 @@ def main():
     gt = jnp.asarray((np.asarray(imgf).mean(-1) > 0.5).astype(np.int32))
     rng = jax.random.PRNGKey(0)
 
-    def variant(name, surgery):
+    def variant(name, surgery, train_mode=True):
         cfg = _flagship_cfg()
         surgery(cfg)
         model = build_segmentor(cfg)
@@ -65,17 +65,21 @@ def main():
 
         def loss_only(variables, img, gt, rng):
             losses, _ = model.compute_losses(
-                variables, img.astype(jnp.bfloat16), gt, rng, train=True)
+                variables, img.astype(jnp.bfloat16), gt, rng,
+                train=train_mode)
             return sum(jnp.mean(v) for k, v in losses.items() if 'loss' in k)
 
         def vg(variables, img, gt, rng):
             def f(params):
                 v = dict(variables, params=params)
                 losses, _ = model.compute_losses(
-                    v, img.astype(jnp.bfloat16), gt, rng, train=True)
+                    v, img.astype(jnp.bfloat16), gt, rng, train=train_mode)
                 return sum(jnp.mean(x) for k, x in losses.items()
                            if 'loss' in k)
-            return jax.value_and_grad(f)(variables['params'])[0]
+            # return the grads as program OUTPUTS — returning only the loss
+            # lets XLA dead-code-eliminate the whole backward (measured:
+            # vg_ms == fwd_ms exactly)
+            return jax.value_and_grad(f)(variables['params'])
 
         fwd = _time(jax.jit(loss_only), variables, imgf, gt, rng,
                     iters=args.iters) * 1e3
@@ -105,6 +109,17 @@ def main():
     def plain(cfg):
         no_ksa(cfg); no_tr(cfg); no_se(cfg)
     report['plain_unet'] = variant('plain_unet', plain)
+
+    # BN backward cost: same full model, eval-mode BN (running stats →
+    # backward through BN is a per-channel scale, no batch-stat chain)
+    report['full_bn_eval'] = variant('full_bn_eval', lambda cfg: None,
+                                     train_mode=False)
+
+    def ce_only(cfg):
+        cfg['decode_head']['loss_decode'] = [dict(
+            type='CrossEntropyLoss', use_sigmoid=False,
+            loss_name='loss_bce', loss_weight=1.0)]
+    report['ce_only_loss'] = variant('ce_only_loss', ce_only)
 
     print(json.dumps(report, indent=1))
     if args.out:
