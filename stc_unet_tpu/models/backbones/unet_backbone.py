@@ -114,6 +114,14 @@ class MultiheadAttention(nn.Module):
                           (3 * c, c), jnp.float32)
         in_b = self.param('in_proj_bias', nn.initializers.zeros, (3 * c,),
                           jnp.float32)
+        # Compute in the activation dtype (same policy as the Linear brick:
+        # params stored f32, cast at use). Without this, bf16 @ f32 promotes
+        # to f32 and the promotion propagates through the residual stream to
+        # EVERY later layer — measured as the whole transformer stack running
+        # at the f32 MXU rate in the train step (bwd 4.2x fwd; the bf16
+        # attention core alone is bwd 0.45x fwd, tools/probe_attention_bwd.py).
+        in_w = in_w.astype(q.dtype)
+        in_b = in_b.astype(q.dtype)
         q = q @ in_w[:c].T + in_b[:c]
         k = k @ in_w[c:2 * c].T + in_b[c:2 * c]
         v = v @ in_w[2 * c:].T + in_b[2 * c:]

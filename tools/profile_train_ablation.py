@@ -45,7 +45,10 @@ def main():
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--iters', type=int, default=6)
     ap.add_argument('--out', default=None)
+    ap.add_argument('--only', default=None,
+                    help='comma-separated variant names to run')
     args = ap.parse_args()
+    only = set(args.only.split(',')) if args.only else None
 
     from __graft_entry__ import _flagship_cfg
     from stc_unet_tpu.models import build_segmentor
@@ -57,6 +60,8 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     def variant(name, surgery, train_mode=True):
+        if only is not None and name not in only:
+            return None
         cfg = _flagship_cfg()
         surgery(cfg)
         model = build_segmentor(cfg)
