@@ -107,21 +107,29 @@ class MultiheadAttention(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, q, k, v):
+    def __call__(self, q, k, v, train: bool = False):
         c, h = self.embed_dim, self.num_heads
         hd = c // h
         in_w = self.param('in_proj_weight', nn.initializers.xavier_uniform(),
                           (3 * c, c), jnp.float32)
         in_b = self.param('in_proj_bias', nn.initializers.zeros, (3 * c,),
                           jnp.float32)
-        # Compute in the activation dtype (same policy as the Linear brick:
-        # params stored f32, cast at use). Without this, bf16 @ f32 promotes
-        # to f32 and the promotion propagates through the residual stream to
-        # EVERY later layer — measured as the whole transformer stack running
-        # at the f32 MXU rate in the train step (bwd 4.2x fwd; the bf16
-        # attention core alone is bwd 0.45x fwd, tools/probe_attention_bwd.py).
-        in_w = in_w.astype(q.dtype)
-        in_b = in_b.astype(q.dtype)
+        # TRAIN ONLY: compute in the activation dtype (same policy as the
+        # Linear brick: params stored f32, cast at use). Without this, bf16 @
+        # f32 promotes to f32 and the promotion propagates through the
+        # residual stream to EVERY later layer — measured as the whole
+        # transformer stack running at the f32 MXU rate in the train step
+        # (bwd 4.2x fwd; the bf16 attention core alone is bwd 0.45x fwd,
+        # tools/probe_attention_bwd.py).
+        # EVAL keeps f32 weights: in the compiled slide program the bf16 cast
+        # flips XLA's whole-program layout assignment — the x1..x3 KSA
+        # stages lose their fused (global-mean, convert) reduction and gain
+        # ~55 ms/iter of pure {3,1,0,2}->{3,0,2,1} relayout fusions on the
+        # 256^2x64 / 128^2x128 / 64^2x256 activations (trace-diffed on the
+        # real chip: slide 49.9 -> 42.9 slices/s with the cast applied).
+        if train:
+            in_w = in_w.astype(q.dtype)
+            in_b = in_b.astype(q.dtype)
         q = q @ in_w[:c].T + in_b[:c]
         k = k @ in_w[c:2 * c].T + in_b[c:2 * c]
         v = v @ in_w[2 * c:].T + in_b[2 * c:]
@@ -160,13 +168,13 @@ class TransformerLayer(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         q = Linear(self.c, use_bias=False, name='q')(x)
         k = Linear(self.c, use_bias=False, name='k')(x)
         v = Linear(self.c, use_bias=False, name='v')(x)
         x = MultiheadAttention(self.c, self.num_heads,
                                use_flash=self.use_flash,
-                               name='ma')(q, k, v) + x
+                               name='ma')(q, k, v, train=train) + x
         h = Linear(self.c, use_bias=False, name='fc1')(x)
         x = Linear(self.c, use_bias=False, name='fc2')(h) + x
         return x
@@ -193,7 +201,7 @@ class TransformerBlock(nn.Module):
         for i in range(self.num_layers):
             p = TransformerLayer(self.c2, self.num_heads,
                                  use_flash=self.use_flash,
-                                 name=f'tr{i}')(p)
+                                 name=f'tr{i}')(p, train=train)
         return p.reshape(n, h, w, self.c2)
 
 

@@ -85,10 +85,13 @@ def ksa(x, ws, mode, kernels=(3, 5, 7)):
     d = max(32, c // 16)
     conv_outs = []
     for i, k in enumerate(kernels):
+        # Mirror the shipped Conv2d brick: flax nn.Conv(dtype=x.dtype,
+        # param_dtype=f32) casts the kernel to bf16 and runs the conv fully
+        # in bf16 (no preferred_element_type → grads stay single-dtype).
         h = jax.lax.conv_general_dilated(
-            x, ws[f'conv{i}'], (1, 1), [(k // 2, k // 2)] * 2,
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            x, ws[f'conv{i}'].astype(x.dtype), (1, 1),
+            [(k // 2, k // 2)] * 2,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         conv_outs.append(jax.nn.relu(h))
     S = sum(jnp.mean(h.astype(jnp.float32), axis=(1, 2)) for h in conv_outs)
     Z = S @ ws['fc']                                        # (N, d)
@@ -117,7 +120,7 @@ def run(n, hw, c, modes):
     ws = {}
     for i, k in enumerate((3, 5, 7)):
         ws[f'conv{i}'] = jnp.asarray(
-            rng.randn(k, k, c, c) * (1.0 / np.sqrt(k * k * c)), jnp.bfloat16)
+            rng.randn(k, k, c, c) * (1.0 / np.sqrt(k * k * c)), jnp.float32)
         ws[f'fcs{i}'] = jnp.asarray(rng.randn(d, c) * 0.1, jnp.float32)
     ws['fc'] = jnp.asarray(rng.randn(c, d) * 0.1, jnp.float32)
 
