@@ -1,0 +1,186 @@
+"""Real-chip perf sweep over the author's full ``my_config`` model matrix.
+
+The headline bench (``bench.py``) covers STC-UNet only. This sweep measures
+every model in the reference's experiment matrix (``my_config/*.py`` — the
+BASELINE.json config set) on one TPU v5e chip at the author's 512x512
+geometry, bf16 activations:
+
+- ``whole_img_per_sec``: whole-image inference (the my_config test_cfg,
+  ``my_config/STC-UNet.py`` mode='whole'), batch swept 8 -> 4 -> 2 -> 1
+  on compile/memory failure.
+- ``p50_latency_ms``: bs=1 whole-mode per-call latency.
+- ``train_img_per_sec``: full pjit train step (fwd+loss+grad+Adam+BN).
+
+Timing protocol identical to ``bench.py`` (reference
+``tools/benchmark.py:54-120`` warmup-skip loop; host-readback-bounded
+queues — see docs/perf_analysis.md for why ``block_until_ready`` alone is
+unreliable over the tunnel).
+
+Usage: python tools/bench_zoo.py [--out docs/data/zoo_bench.json]
+       [--only STC-UNet ...]
+"""
+from __future__ import annotations
+
+import os.path as _osp
+import sys as _sys
+
+_repo_root = _osp.dirname(_osp.dirname(_osp.abspath(__file__)))
+if _repo_root not in _sys.path:
+    _sys.path.insert(0, _repo_root)
+
+import argparse
+import glob
+import json
+import time
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WARMUP = 2
+ITERS = 10
+SIZE = 512
+
+
+def _throughput(fn, *args, iters=ITERS):
+    for _ in range(WARMUP):
+        float(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters - 1):
+        fn(*args)
+    float(fn(*args))
+    return iters / (time.perf_counter() - t0)
+
+
+def _p50_latency_ms(fn, *args, iters=20):
+    for _ in range(WARMUP):
+        float(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(times, 50))
+
+
+def _strip_pretrained(cfg):
+    cfg.model['pretrained'] = None
+    for key in ('backbone', 'decode_head'):
+        sub = cfg.model.get(key)
+        if isinstance(sub, dict):
+            sub.pop('pretrained', None)
+            sub.pop('init_cfg', None)
+
+
+def bench_one(cfg_path):
+    from stc_unet_tpu.models import build_segmentor
+    from stc_unet_tpu.utils import Config
+
+    cfg = Config.fromfile(cfg_path)
+    _strip_pretrained(cfg)
+    model = build_segmentor(cfg.model,
+                            test_cfg=dict(mode='whole'))
+    # Init at the eval size: window-attention models (SwinUNet) clamp the
+    # window to the feature resolution, making the relative-position bias
+    # table shape input-size-dependent — init at a smaller size would give
+    # params unusable at 512^2.
+    model.init_weights(seed=0, input_size=(SIZE, SIZE))
+    variables = jax.tree_util.tree_map(jnp.asarray, model.variables)
+    model.variables = variables
+    net = model.net
+
+    @jax.jit
+    def whole_sum(variables, img):
+        out = net.apply(variables, img, train=False)
+        return jnp.sum(out.astype(jnp.float32))
+
+    rec = {}
+    img_np = np.random.RandomState(0).rand(8, SIZE, SIZE, 3)
+
+    for b in (8, 4, 2, 1):
+        try:
+            img = jnp.asarray(img_np[:b], jnp.bfloat16)
+            rec['whole_img_per_sec'] = round(
+                _throughput(whole_sum, variables, img) * b, 2)
+            rec['whole_batch'] = b
+            break
+        except Exception as e:
+            rec['whole_error_b%d' % b] = repr(e)[:160]
+    try:
+        img1 = jnp.asarray(img_np[:1], jnp.bfloat16)
+        rec['p50_latency_ms'] = round(
+            _p50_latency_ms(whole_sum, variables, img1), 2)
+    except Exception as e:
+        rec['p50_error'] = repr(e)[:160]
+
+    try:
+        from stc_unet_tpu.core import build_lr_schedule, build_optimizer_tx
+        from stc_unet_tpu.engine import TrainState, make_train_step
+        schedule = build_lr_schedule(
+            dict(policy='poly', power=0.9, min_lr=1e-6, by_epoch=False),
+            base_lr=1e-5, max_iters=1000)
+        tx = build_optimizer_tx(
+            dict(type='Adam', lr=1e-5, betas=(0.9, 0.999)), schedule=schedule)
+        step = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        for b in (8, 4, 2):
+            try:
+                state = TrainState.create(variables, tx)
+                timg = jnp.asarray(np.asarray(img_np[:b], np.float32))
+                gt = jnp.asarray(
+                    (np.asarray(timg).mean(-1) > 0.5).astype(np.int32))
+                state, lv = step(state, timg, gt, rng)
+                float(lv['loss'])
+                state, lv = step(state, timg, gt, rng)
+                float(lv['loss'])
+                iters = 10
+                t0 = time.perf_counter()
+                for _ in range(iters - 1):
+                    state, lv = step(state, timg, gt, rng)
+                state, lv = step(state, timg, gt, rng)
+                float(lv['loss'])
+                dt = (time.perf_counter() - t0) / iters
+                rec['train_img_per_sec'] = round(b / dt, 2)
+                rec['train_batch'] = b
+                break
+            except Exception as e:
+                rec['train_error_b%d' % b] = repr(e)[:160]
+    except Exception as e:
+        rec['train_error'] = repr(e)[:160]
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default=_osp.join(_repo_root, 'docs', 'data',
+                                               'zoo_bench.json'))
+    ap.add_argument('--only', nargs='*', default=None,
+                    help='config stems to run (default: all my_config)')
+    args = ap.parse_args()
+
+    paths = sorted(glob.glob(_osp.join(_repo_root, 'my_config', '*.py')))
+    paths = [p for p in paths if not _osp.basename(p).startswith('_base')]
+    if args.only:
+        paths = [p for p in paths
+                 if _osp.splitext(_osp.basename(p))[0] in args.only]
+
+    results = {}
+    if _osp.exists(args.out):
+        results = json.load(open(args.out))
+    for p in paths:
+        name = _osp.splitext(_osp.basename(p))[0]
+        print(f'=== {name} ===', flush=True)
+        t0 = time.perf_counter()
+        try:
+            results[name] = bench_one(p)
+        except Exception:
+            results[name] = {'error': traceback.format_exc()[-400:]}
+        results[name]['bench_wall_s'] = round(time.perf_counter() - t0, 1)
+        print(json.dumps({name: results[name]}), flush=True)
+        json.dump(results, open(args.out, 'w'), indent=1)
+    print('wrote', args.out)
+
+
+if __name__ == '__main__':
+    main()
