@@ -12,7 +12,7 @@ import numpy as np
 
 from ..bricks import Conv2d
 from ..builder import BACKBONES
-from ..utils.maxvit_core import MaxViTBlock
+from ..utils.maxvit_core import MaxViTBlock, apply_maxvit_block
 
 
 class MaxViTStage(nn.Module):
@@ -25,17 +25,19 @@ class MaxViTStage(nn.Module):
     drop: float
     drop_path: Sequence[float]
     mlp_ratio: float
+    with_cp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.depth):
-            x = MaxViTBlock(
+            block = MaxViTBlock(
                 self.out_channels, downscale=(i == 0),
                 num_heads=self.num_heads,
                 grid_window_size=self.grid_window_size,
                 attn_drop=self.attn_drop, drop=self.drop,
                 drop_path=self.drop_path[i], mlp_ratio=self.mlp_ratio,
-                name=f'blocks_{i}')(x, train=train)
+                name=f'blocks_{i}')
+            x = apply_maxvit_block(block, x, train, self.with_cp)
         return x
 
 
@@ -53,6 +55,7 @@ class MaxViT(nn.Module):
     drop_path: float = 0.0
     mlp_ratio: float = 4.0
     num_classes: int = 1000  # accepted for config parity; no cls head
+    with_cp: bool = False  # per-block remat (≙ torch checkpoint)
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
 
@@ -71,7 +74,7 @@ class MaxViT(nn.Module):
                 attn_drop=self.attn_drop, drop=self.drop,
                 drop_path=dpr[sum(self.depths[:i]):
                               sum(self.depths[:i + 1])],
-                mlp_ratio=self.mlp_ratio,
+                mlp_ratio=self.mlp_ratio, with_cp=self.with_cp,
                 name=f'stages_{i}')(x, train=train)
             outs.append(x)
         return outs

@@ -15,7 +15,7 @@ import jax
 from stc_unet_tpu.ops import resize
 from ..bricks import BatchNorm
 from ..builder import HEADS
-from ..utils.maxvit_core import MaxViTBlock
+from ..utils.maxvit_core import MaxViTBlock, apply_maxvit_block
 from .decode_head import BaseDecodeHead
 
 
@@ -55,19 +55,21 @@ class DecoderStage(nn.Module):
     drop: float
     drop_path: Sequence[float]
     mlp_ratio: float
+    with_cp: bool = False
 
     @nn.compact
     def __call__(self, skip, x, train: bool = False):
         x = DeconvModule(self.skip_channels, name='upsample')(x, train=train)
         x = jnp.concatenate([skip, x], axis=-1)
         for i in range(self.depth):
-            x = MaxViTBlock(
+            block = MaxViTBlock(
                 self.out_channels, downscale=False,
                 num_heads=self.num_heads,
                 grid_window_size=self.grid_window_size,
                 attn_drop=self.attn_drop, drop=self.drop,
                 drop_path=self.drop_path[i], mlp_ratio=self.mlp_ratio,
-                name=f'blocks_{i}')(x, train=train)
+                name=f'blocks_{i}')
+            x = apply_maxvit_block(block, x, train, self.with_cp)
         return x
 
 
@@ -86,6 +88,7 @@ class MaxViTDecoder(BaseDecodeHead):
     drop: float = 0.0
     drop_path: float = 0.0
     mlp_ratio: float = 4.0
+    with_cp: bool = False  # per-block remat (≙ torch checkpoint)
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -105,7 +108,7 @@ class MaxViTDecoder(BaseDecodeHead):
                 attn_drop=self.attn_drop, drop=self.drop,
                 drop_path=dpr[sum(self.depths[:i]):
                               sum(self.depths[:i + 1])],
-                mlp_ratio=self.mlp_ratio,
+                mlp_ratio=self.mlp_ratio, with_cp=self.with_cp,
                 name=f'stages_{i}')(skip, x, train=train)
         x = resize(x, size=tuple(self.output_size), mode='bilinear',
                    align_corners=self.align_corners, warning=False)

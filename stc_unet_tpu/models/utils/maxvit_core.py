@@ -189,6 +189,23 @@ class MaxViTTransformerBlock(nn.Module):
         return rev(p.reshape(-1, gws[0], gws[1], c), (h, w), gws)
 
 
+def apply_maxvit_block(block: 'MaxViTBlock', x, train: bool, with_cp: bool):
+    """Apply a MaxViTBlock, rematerialising it during backward when
+    ``with_cp`` (≙ torch ``checkpoint`` per block).
+
+    ``nn.remat`` over the whole block saves only the block-boundary
+    activation; the windowed/grid attention temporaries (the dominant
+    residuals — (B·64, 64, C) per partition at 512²) are recomputed in the
+    backward pass. At B=8 512² this is the difference between the MaxViT
+    train program fitting HBM and a 28 GB OOM (v5e has 15.75 GB); measured
+    cost is ~30% extra forward FLOPs. Parameter/RNG paths are unchanged, so
+    checkpoints trained either way are interchangeable.
+    """
+    if with_cp and train:
+        return nn.remat(lambda mdl, y: mdl(y, train=True))(block, x)
+    return block(x, train=train)
+
+
 class MaxViTBlock(nn.Module):
     """MBConv + window attention + grid attention
     (reference ``maxvit_encoder.py:432``)."""

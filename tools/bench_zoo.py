@@ -122,10 +122,29 @@ def bench_one(cfg_path):
             base_lr=1e-5, max_iters=1000)
         tx = build_optimizer_tx(
             dict(type='Adam', lr=1e-5, betas=(0.9, 0.999)), schedule=schedule)
-        step = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
         rng = jax.random.PRNGKey(0)
-        for b in (8, 4, 2):
+        # Fallback tiers: B=8 is the sublane-efficient batch (conv batch dim
+        # pads to 8); when its plain program fails, try B=8 with per-block
+        # remat (``with_cp=True`` — models that support it; recomputes only
+        # block interiors) then whole-loss remat (``jax.checkpoint`` over the
+        # loss fn) before dropping to B=4, which pays the ~2x padding
+        # penalty. Param trees are mode-independent, so ``variables`` is
+        # reused across tiers.
+        tiers = ((8, 'plain'), (8, 'with_cp'), (8, 'loss_remat'),
+                 (4, 'plain'), (2, 'plain'))
+        for b, mode in tiers:
             try:
+                mdl = model
+                if mode == 'with_cp':
+                    import copy
+                    mcfg = copy.deepcopy(cfg.model)
+                    for key in ('backbone', 'decode_head'):
+                        if isinstance(mcfg.get(key), dict):
+                            mcfg[key]['with_cp'] = True
+                    mdl = build_segmentor(mcfg, test_cfg=dict(mode='whole'))
+                    mdl.variables = variables
+                step = make_train_step(mdl, tx, compute_dtype=jnp.bfloat16,
+                                       remat=(mode == 'loss_remat'))
                 state = TrainState.create(variables, tx)
                 timg = jnp.asarray(np.asarray(img_np[:b], np.float32))
                 gt = jnp.asarray(
@@ -143,9 +162,11 @@ def bench_one(cfg_path):
                 dt = (time.perf_counter() - t0) / iters
                 rec['train_img_per_sec'] = round(b / dt, 2)
                 rec['train_batch'] = b
+                rec['train_mode'] = mode
                 break
             except Exception as e:
-                rec['train_error_b%d' % b] = repr(e)[:160]
+                key = 'train_error_b%d_%s' % (b, mode)
+                rec[key] = repr(e)[:160]
     except Exception as e:
         rec['train_error'] = repr(e)[:160]
     return rec
