@@ -5,7 +5,7 @@ features come out at strides 4/8/16/32 with the configured channels.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import numpy as np
@@ -25,7 +25,7 @@ class MaxViTStage(nn.Module):
     drop: float
     drop_path: Sequence[float]
     mlp_ratio: float
-    with_cp: bool = False
+    with_cp: Any = False  # False | True/"block" | "attn" | "dots"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,7 +55,7 @@ class MaxViT(nn.Module):
     drop_path: float = 0.0
     mlp_ratio: float = 4.0
     num_classes: int = 1000  # accepted for config parity; no cls head
-    with_cp: bool = False  # per-block remat (≙ torch checkpoint)
+    with_cp: Any = False  # per-block remat: True/"block" | "attn" | "dots"
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
 

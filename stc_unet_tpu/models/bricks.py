@@ -202,6 +202,7 @@ class Conv2d(nn.Module):
     dilation: Union[int, Tuple[int, int]] = 1
     groups: int = 1
     use_bias: bool = True
+    kernel_init: Optional[Any] = None  # e.g. zeros (mmcv constant_init(0))
 
     @nn.compact
     def __call__(self, x):
@@ -213,11 +214,14 @@ class Conv2d(nn.Module):
         else:
             p = _pair(self.padding)
             pad = ((p[0], p[0]), (p[1], p[1]))
+        extra = {}
+        if self.kernel_init is not None:
+            extra['kernel_init'] = self.kernel_init
         return nn.Conv(
             features=self.features, kernel_size=k, strides=s, padding=pad,
             kernel_dilation=d, feature_group_count=self.groups,
             use_bias=self.use_bias, dtype=x.dtype, param_dtype=jnp.float32,
-            name='conv')(x)
+            name='conv', **extra)(x)
 
 
 class ConvTranspose2d(nn.Module):

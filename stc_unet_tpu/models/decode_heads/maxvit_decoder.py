@@ -55,7 +55,7 @@ class DecoderStage(nn.Module):
     drop: float
     drop_path: Sequence[float]
     mlp_ratio: float
-    with_cp: bool = False
+    with_cp: Any = False  # False | True/"block" | "attn" | "dots"
 
     @nn.compact
     def __call__(self, skip, x, train: bool = False):
@@ -88,7 +88,7 @@ class MaxViTDecoder(BaseDecodeHead):
     drop: float = 0.0
     drop_path: float = 0.0
     mlp_ratio: float = 4.0
-    with_cp: bool = False  # per-block remat (≙ torch checkpoint)
+    with_cp: Any = False  # per-block remat: True/"block" | "attn" | "dots"
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):

@@ -189,21 +189,40 @@ class MaxViTTransformerBlock(nn.Module):
         return rev(p.reshape(-1, gws[0], gws[1], c), (h, w), gws)
 
 
-def apply_maxvit_block(block: 'MaxViTBlock', x, train: bool, with_cp: bool):
-    """Apply a MaxViTBlock, rematerialising it during backward when
-    ``with_cp`` (≙ torch ``checkpoint`` per block).
+def apply_maxvit_block(block: 'MaxViTBlock', x, train: bool, with_cp):
+    """Apply a MaxViTBlock, rematerialising during backward per ``with_cp``
+    (≙ torch ``checkpoint``; the reference applies it per stage at
+    ``maxvit_encoder.py:621`` — per-block is strictly finer-grained).
 
-    ``nn.remat`` over the whole block saves only the block-boundary
-    activation; the windowed/grid attention temporaries (the dominant
-    residuals — (B·64, 64, C) per partition at 512²) are recomputed in the
-    backward pass. At B=8 512² this is the difference between the MaxViT
-    train program fitting HBM and a 28 GB OOM (v5e has 15.75 GB); measured
-    cost is ~30% extra forward FLOPs. Parameter/RNG paths are unchanged, so
-    checkpoints trained either way are interchangeable.
+    Modes (Parameter/RNG paths are identical in all of them, so checkpoints
+    trained under any mode are interchangeable):
+
+    - ``False``: no remat.
+    - ``True`` / ``'block'``: ``nn.remat`` over the whole block — saves only
+      the block-boundary activation, recomputes MBConv + both attention
+      transformers in backward. Lowest memory, highest recompute.
+    - ``'dots'``: whole-block remat with the
+      ``dots_with_no_batch_dims_saveable`` policy — matmul outputs (qkv /
+      attn / proj / MLP dense results) are saved from the forward; only the
+      elementwise/reshape glue is recomputed. Much cheaper backward than
+      'block' while still dropping the conv/BN/partition temporaries.
+    - ``'attn'``: remat only the two attention transformer sub-blocks;
+      MBConv activations are saved as in plain mode.
+
+    At B=8 512² plain mode is a 28 GB program (v5e has 15.75 GB), so some
+    remat tier is mandatory; the round-4 probe (`tools/probe_maxvit_train.py`,
+    ``docs/data/maxvit_train_probe.json``) measures which tier wins.
     """
-    if with_cp and train:
-        return nn.remat(lambda mdl, y: mdl(y, train=True))(block, x)
-    return block(x, train=train)
+    mode = 'block' if with_cp is True else with_cp
+    if not mode or not train:
+        return block(x, train=train)
+    if mode == 'attn':
+        return block(x, train=train, remat_attn=True)
+    policy = None
+    if mode == 'dots':
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return nn.remat(lambda mdl, y: mdl(y, train=True),
+                    policy=policy)(block, x)
 
 
 class MaxViTBlock(nn.Module):
@@ -219,17 +238,20 @@ class MaxViTBlock(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, remat_attn: bool = False):
         x = MBConv(self.out_channels, self.downscale, self.drop_path,
                    name='mb_conv')(x, train=train)
-        x = MaxViTTransformerBlock(
+        window = MaxViTTransformerBlock(
             self.out_channels, 'window', self.num_heads,
             self.grid_window_size, self.attn_drop, self.drop,
-            self.drop_path, self.mlp_ratio,
-            name='block_transformer')(x, train=train)
-        x = MaxViTTransformerBlock(
+            self.drop_path, self.mlp_ratio, name='block_transformer')
+        grid = MaxViTTransformerBlock(
             self.out_channels, 'grid', self.num_heads,
             self.grid_window_size, self.attn_drop, self.drop,
-            self.drop_path, self.mlp_ratio,
-            name='grid_transformer')(x, train=train)
-        return x
+            self.drop_path, self.mlp_ratio, name='grid_transformer')
+        if remat_attn and train:
+            # with_cp='attn': recompute only the attention sub-blocks in
+            # backward; MBConv residuals stay saved (see apply_maxvit_block)
+            apply = nn.remat(lambda mdl, y: mdl(y, train=True))
+            return apply(grid, apply(window, x))
+        return grid(window(x, train=train), train=train)

@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..bricks import ConvModule, max_pool2d
+from ..bricks import Conv2d, ConvModule, max_pool2d
 
 
 class SelfAttentionBlock(nn.Module):
@@ -37,13 +37,25 @@ class SelfAttentionBlock(nn.Module):
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
 
-    def _make_proj(self, channels, num_convs, use_norm, name):
-        """Construct the 1x1 conv stack once (shareable)."""
-        return [ConvModule(
-            channels, 1,
-            norm_cfg=self.norm_cfg if use_norm else None,
-            act_cfg=self.act_cfg if use_norm else None,
-            name=f'{name}_{i}') for i in range(num_convs)]
+    def _make_proj(self, channels, num_convs, use_norm, name,
+                   zero_init=False):
+        """Construct the 1x1 conv stack once (shareable).
+
+        ``use_norm`` ≙ reference ``use_conv_module``: True → ConvModule with
+        norm+act; False → plain conv (bias, no norm). ``zero_init`` replicates
+        the reference's ``constant_init(self.out_project, 0)``
+        (``self_attention_block.py:95-99``): it fires only when out_project
+        is a single plain conv — mmcv ``constant_init`` is a no-op on
+        ``nn.Sequential`` (no ``.weight``), and ConvModules are skipped
+        explicitly — so callers pass ``zero_init`` only in that case.
+        """
+        if use_norm:
+            return [ConvModule(
+                channels, 1, norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                name=f'{name}_{i}') for i in range(num_convs)]
+        init = {'kernel_init': jax.nn.initializers.zeros} if zero_init else {}
+        return [Conv2d(channels, 1, name=f'{name}_{i}', **init)
+                for i in range(num_convs)]
 
     @staticmethod
     def _apply_proj(mods, x, train):
@@ -51,7 +63,7 @@ class SelfAttentionBlock(nn.Module):
         if not spatial:  # (B, K, C) tokens → fake height axis for convs
             x = x[:, :, None, :]
         for m in mods:
-            x = m(x, train=train)
+            x = m(x, train=train) if isinstance(m, ConvModule) else m(x)
         if not spatial:
             x = x[:, :, 0, :]
         return x
@@ -90,7 +102,15 @@ class SelfAttentionBlock(nn.Module):
         context = jnp.einsum('bqk,bkc->bqc', sim, v)
         context = context.reshape((b,) + q_spatial + (context.shape[-1],))
         if self.with_out:
-            out_mods = self._make_proj(self.out_channels, 1, True,
-                                       'out_project')
+            # reference: out_project mirrors the value projection's
+            # num_convs/use_conv_module (``self_attention_block.py:77-85``);
+            # a SINGLE plain-conv out_project is zero-initialized
+            # (``constant_init(self.out_project, 0)``, which no-ops on
+            # Sequential/ConvModule — see _make_proj docstring)
+            out_mods = self._make_proj(
+                self.out_channels, self.value_out_num_convs,
+                self.value_out_norm, 'out_project',
+                zero_init=(not self.value_out_norm
+                           and self.value_out_num_convs == 1))
             context = self._apply_proj(out_mods, context, train)
         return context
