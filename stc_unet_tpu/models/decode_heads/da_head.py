@@ -13,22 +13,19 @@ import jax.numpy as jnp
 
 from ..bricks import Conv2d, ConvModule, Dropout2d
 from ..builder import HEADS
+from ..utils.self_attention_block import SelfAttentionBlock
 from .decode_head import BaseDecodeHead
 
 
-class PAM(nn.Module):
-    """Position attention with a learned residual scale."""
-    channels: int
+class PAM(SelfAttentionBlock):
+    """Position attention module (reference ``da_head.py:13-47``): a
+    SelfAttentionBlock with plain-conv projections to ``pam_channels``
+    (key_query_norm/value_out_norm False, matmul_norm False, with_out
+    False), plus a zero-initialized residual scale (mmcv ``Scale(0)``)."""
 
     @nn.compact
-    def __call__(self, x):
-        b, h, w, c = x.shape
-        inter = self.channels // 8
-        query = Conv2d(inter, 1, name='query_conv')(x).reshape(b, -1, inter)
-        key = Conv2d(inter, 1, name='key_conv')(x).reshape(b, -1, inter)
-        value = Conv2d(c, 1, name='value_conv')(x).reshape(b, -1, c)
-        sim = jax.nn.softmax(jnp.einsum('bic,bjc->bij', query, key), -1)
-        out = jnp.einsum('bij,bjc->bic', sim, value).reshape(b, h, w, c)
+    def __call__(self, x, train: bool = False):
+        out = super().__call__(x, x, train=train)
         gamma = self.param('gamma', nn.initializers.zeros, ())
         return gamma * out + x
 
@@ -66,7 +63,15 @@ class DAHead(BaseDecodeHead):
         pam = ConvModule(self.channels, 3, padding=1,
                          norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
                          name='pam_in_conv')(x, train=train)
-        pam = PAM(self.pam_channels, name='pam')(pam)
+        # reference ``da_head.py:113``: PAM(self.channels, pam_channels) —
+        # key/query project to pam_channels, value/out to self.channels
+        pam = PAM(key_in_channels=self.channels,
+                  query_in_channels=self.channels,
+                  channels=self.pam_channels, out_channels=self.channels,
+                  share_key_query=False, key_query_num_convs=1,
+                  value_out_num_convs=1, key_query_norm=False,
+                  value_out_norm=False, matmul_norm=False, with_out=False,
+                  name='pam')(pam, train=train)
         pam = ConvModule(self.channels, 3, padding=1,
                          norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
                          name='pam_out_conv')(pam, train=train)

@@ -29,8 +29,13 @@ class EncModule(nn.Module):
             x, train=train)
         encoded = Encoding(self.channels, self.num_codes,
                            name='encoding')(feat)
+        # reference ``enc_head.py:44-47``: nn.BatchNorm1d(num_codes) on the
+        # (B, K, C) encoding — the normalized features are the K CODES
+        # (stats over batch x channels), not the channels; put K last for
+        # the NHWC BatchNorm brick and restore the layout after
         encoded = BatchNorm(name='encoding_norm')(
-            encoded[:, :, None, :], train=train)[:, :, 0, :]
+            encoded.transpose(0, 2, 1)[:, :, None, :],
+            train=train)[:, :, 0, :].transpose(0, 2, 1)
         encoded = nn.relu(encoded)
         feat_sum = encoded.mean(axis=1)  # (B, C)
         gamma = nn.sigmoid(Linear(self.channels, name='fc')(feat_sum))

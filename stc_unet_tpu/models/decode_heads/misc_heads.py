@@ -53,17 +53,24 @@ class EMAHead(BaseDecodeHead):
         flat = feats.reshape(b, h * w, c).astype(jnp.float32)
         # EM iteration under stop_gradient (reference: torch.no_grad())
         flat_ng = jax.lax.stop_gradient(flat)
+        def _l1n(v, axis):  # F.normalize(p=1): v / max(sum|v|, 1e-12)
+            return v / jnp.maximum(
+                jnp.sum(jnp.abs(v), axis=axis, keepdims=True), 1e-12)
+
+        def _l2n(v, axis):  # F.normalize(p=2): v / max(||v||_2, 1e-12)
+            return v / jnp.maximum(
+                jnp.linalg.norm(v, axis=axis, keepdims=True), 1e-12)
+
         for _ in range(self.num_stages):
             attn = jax.nn.softmax(
                 jnp.einsum('bpc,bkc->bpk', flat_ng, bases), axis=-1)
-            attn_norm = attn / (1e-6 + attn.sum(axis=1, keepdims=True))
+            attn_norm = _l1n(attn, axis=1)
             bases = jnp.einsum('bpk,bpc->bkc', attn_norm, flat_ng)
-            bases = bases / jnp.linalg.norm(bases, axis=-1, keepdims=True)
+            bases = _l2n(bases, axis=-1)
         if train and not self.is_initializing():
             # reference :68-73: EMA-average the (l2-normalized) batch bases
-            batch_bases = jnp.mean(bases, axis=0, keepdims=True)
-            batch_bases = batch_bases / jnp.linalg.norm(
-                batch_bases, axis=-1, keepdims=True)
+            batch_bases = _l2n(jnp.mean(bases, axis=0, keepdims=True),
+                               axis=-1)
             bases_var.value = (1 - self.momentum) * bases_var.value + \
                 self.momentum * batch_bases
         recon = jnp.einsum('bpk,bkc->bpc', attn, bases).reshape(b, h, w, c)

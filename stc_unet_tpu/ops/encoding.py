@@ -20,8 +20,9 @@ class Encoding(nn.Module):
         codewords = self.param('codewords',
                                nn.initializers.uniform(2 * std), (k, c),
                                jnp.float32) - std
-        scale = self.param('scale', nn.initializers.uniform(2.0 / k),
-                           (k,), jnp.float32) - 1.0 / k
+        # reference init: uniform(-1, 0) (``ops/encoding.py:28-30``)
+        scale = self.param('scale', nn.initializers.uniform(1.0),
+                           (k,), jnp.float32) - 1.0
         b = x.shape[0]
         flat = x.reshape(b, -1, c)
         # residuals (B, N, K, C)

@@ -115,7 +115,9 @@ def test_psa_types():
 
 
 def test_psa_compact_and_no_softmax():
-    cfg = dict(type='PSAHead', in_channels=64, channels=8, mask_size=(4, 4),
+    # compact mode requires mask_h*mask_w == h*w after shrink (the
+    # reference's view(n, h*w, h*w) enforces the same) — in_index=3 is 2x2
+    cfg = dict(type='PSAHead', in_channels=64, channels=8, mask_size=(2, 2),
                psa_type='collect', compact=True, psa_softmax=False,
                shrink_factor=1, in_index=3, **NC)
     _run(cfg)
