@@ -132,44 +132,58 @@ class Deconv2x(nn.Module):
 
 @HEADS.register_module()
 class DC_Unet(BaseDecodeHead):
-    """Monolithic DC-UNet (reference ``dc_unet_head.py:106``)."""
+    """Monolithic DC-UNet (reference ``dc_unet_head.py:106``).
+
+    ``with_cp`` rematerialises each DCBlock/ResPath in the backward pass
+    (≙ torch ``checkpoint`` granularity): at 512^2/B=8 the plain train
+    program's tens of full-resolution 51-channel activations exceed HBM,
+    and saving only the block boundaries is far cheaper to recompute than
+    the whole-loss ``jax.checkpoint`` fallback. Parameters/RNG are mode-
+    independent — checkpoints trained either way are interchangeable."""
     nf: int = 32
     use_dropout: bool = False
+    with_cp: bool = False
+
+    def _blk(self, mod, x, train: bool):
+        if self.with_cp and train and not self.is_initializing():
+            return nn.remat(lambda m, y: m(y, train=True))(mod, x)
+        return mod(x, train=train)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         nf = self.nf
-        m1 = DCBlock(u=nf, name='mres_block1')(x, train=train)
+        blk = self._blk
+        m1 = blk(DCBlock(u=nf, name='mres_block1'), x, train)
         pool = max_pool2d(m1, 2)
-        m1 = ResPath(nf, 4, name='res_path1')(m1, train=train)
+        m1 = blk(ResPath(nf, 4, name='res_path1'), m1, train)
 
-        m2 = DCBlock(u=nf * 2, name='mres_block2')(pool, train=train)
+        m2 = blk(DCBlock(u=nf * 2, name='mres_block2'), pool, train)
         pool = max_pool2d(m2, 2)
-        m2 = ResPath(nf * 2, 3, name='res_path2')(m2, train=train)
+        m2 = blk(ResPath(nf * 2, 3, name='res_path2'), m2, train)
 
-        m3 = DCBlock(u=nf * 4, name='mres_block3')(pool, train=train)
+        m3 = blk(DCBlock(u=nf * 4, name='mres_block3'), pool, train)
         pool = max_pool2d(m3, 2)
-        m3 = ResPath(nf * 4, 2, name='res_path3')(m3, train=train)
+        m3 = blk(ResPath(nf * 4, 2, name='res_path3'), m3, train)
 
-        m4 = DCBlock(u=nf * 8, name='mres_block4')(pool, train=train)
+        m4 = blk(DCBlock(u=nf * 8, name='mres_block4'), pool, train)
         pool = max_pool2d(m4, 2)
-        m4 = ResPath(nf * 8, 1, name='res_path4')(m4, train=train)
+        m4 = blk(ResPath(nf * 8, 1, name='res_path4'), m4, train)
 
-        m = DCBlock(u=nf * 16, name='mres_block5')(pool, train=train)
+        m = blk(DCBlock(u=nf * 16, name='mres_block5'), pool, train)
 
         up = jnp.concatenate([Deconv2x(nf * 8, name='deconv1')(m), m4],
                              axis=-1)
-        m = DCBlock(u=nf * 8, use_dropout=self.use_dropout,
-                    name='mres_block6')(up, train=train)
+        m = blk(DCBlock(u=nf * 8, use_dropout=self.use_dropout,
+                        name='mres_block6'), up, train)
         up = jnp.concatenate([Deconv2x(nf * 4, name='deconv2')(m), m3],
                              axis=-1)
-        m = DCBlock(u=nf * 4, use_dropout=self.use_dropout,
-                    name='mres_block7')(up, train=train)
+        m = blk(DCBlock(u=nf * 4, use_dropout=self.use_dropout,
+                        name='mres_block7'), up, train)
         up = jnp.concatenate([Deconv2x(nf * 2, name='deconv3')(m), m2],
                              axis=-1)
-        m = DCBlock(u=nf * 2, use_dropout=self.use_dropout,
-                    name='mres_block8')(up, train=train)
+        m = blk(DCBlock(u=nf * 2, use_dropout=self.use_dropout,
+                        name='mres_block8'), up, train)
         up = jnp.concatenate([Deconv2x(nf, name='deconv4')(m), m1], axis=-1)
-        m = DCBlock(u=nf, name='mres_block9')(up, train=train)
+        m = blk(DCBlock(u=nf, name='mres_block9'), up, train)
         return ConvBn(self.final_out_channels, 1, activation='tanh',
                       name='conv10')(m, train=train)

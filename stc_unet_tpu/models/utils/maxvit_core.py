@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from stc_unet_tpu.ops.window_attention import (fused_attention_enabled,
+                                               window_attention)
 from ..bricks import BatchNorm, Conv2d, max_pool2d
 from .swin_core import DropPath, relative_position_index
 
@@ -110,7 +112,15 @@ class MBConv(nn.Module):
 
 
 class RelativeSelfAttention(nn.Module):
-    """Relative self-attention (reference ``maxvit_encoder.py:244``)."""
+    """Relative self-attention (reference ``maxvit_encoder.py:244``).
+
+    On a single TPU device the score/softmax/apply chain runs as the fused
+    Pallas kernel (``ops/window_attention.py``): with num_heads=32 the head
+    dim is 2..16, the per-head einsums are HBM-bound on their (B_, H, N, N)
+    score tensors, and the fused kernel keeps those in VMEM (measured ~2.2x
+    on the fwd+bwd stage-0/1 geometries, with in-kernel attention dropout
+    ~free vs the ~2x mask-generation cost of the XLA path —
+    ``docs/data/fused_attn_probe.json``)."""
     in_channels: int
     num_heads: int = 32
     grid_window_size: Tuple[int, int] = (7, 7)
@@ -123,8 +133,6 @@ class RelativeSelfAttention(nn.Module):
         heads = self.num_heads
         scale = heads ** -0.5  # reference quirk: heads, not head_dim
         qkv = nn.Dense(3 * c, dtype=x.dtype, name='qkv_mapping')(x)
-        qkv = qkv.reshape(b_, n, 3, heads, -1).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
         bias_table = self.param(
             'relative_position_bias_table',
             nn.initializers.truncated_normal(0.02),
@@ -133,11 +141,32 @@ class RelativeSelfAttention(nn.Module):
         rel_index = relative_position_index(self.grid_window_size)
         bias = bias_table[rel_index.reshape(-1)].reshape(
             n, n, heads).transpose(2, 0, 1)
-        attn = jnp.einsum('bhnd,bhmd->bhnm', q * scale, k)
-        attn = jax.nn.softmax(attn + bias[None].astype(attn.dtype), axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        rate = float(self.attn_drop) if train else 0.0
+        if fused_attention_enabled() and c % heads == 0:
+            # the Dense output's (..., 3, heads, d) layout means plain lane
+            # slices of thirds are already head-major packed (W, N, C)
+            q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+            bias_e = bias.transpose(1, 0, 2).reshape(n, heads * n)
+            if rate > 0.0:
+                key = self.make_rng('dropout')
+                if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+                    key = jax.random.key_data(key)
+                seed = jax.lax.bitcast_convert_type(
+                    key.reshape(-1)[:1], jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            out = window_attention(q, k, v, bias_e, seed, heads, scale,
+                                   rate)
+        else:
+            qkv = qkv.reshape(b_, n, 3, heads, -1).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = jnp.einsum('bhnd,bhmd->bhnm', q * scale, k)
+            attn = jax.nn.softmax(attn + bias[None].astype(attn.dtype),
+                                  axis=-1)
+            attn = nn.Dropout(self.attn_drop,
+                              deterministic=not train)(attn)
+            out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         out = nn.Dense(c, dtype=x.dtype, name='proj')(out)
         return nn.Dropout(self.drop, deterministic=not train)(out)
 

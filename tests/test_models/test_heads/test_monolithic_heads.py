@@ -37,6 +37,38 @@ def test_dc_unet():
                norm_cfg=dict(type='BN'), loss_decode=LOSSES))
 
 
+def test_dc_unet_with_cp_equivalence():
+    """Per-block remat (``with_cp``) must not change the loss (reference
+    torch ``checkpoint`` semantics: identical math, recomputed backward)."""
+    import jax.numpy as jnp
+
+    from stc_unet_tpu.core import build_optimizer_tx
+    from stc_unet_tpu.engine import TrainState, make_train_step
+
+    head = dict(type='DC_Unet', out_channels=2, nf=4,
+                norm_cfg=dict(type='BN'), loss_decode=LOSSES)
+    h = w = 32
+    img = np.random.RandomState(0).rand(1, h, w, 3).astype(np.float32)
+    gt = np.random.RandomState(1).randint(0, 2, (1, h, w))
+    tx = build_optimizer_tx(dict(type='Adam', lr=1e-4, betas=(0.9, 0.999)))
+    losses = {}
+    variables = None
+    for with_cp in (False, True):
+        model = build_segmentor(dict(
+            type='EncoderDecoderFull',
+            decode_head=dict(head, with_cp=with_cp),
+            test_cfg=dict(mode='whole')))
+        if variables is None:
+            variables = model.init_weights(seed=0, input_size=(h, w))
+        model.variables = variables
+        step = make_train_step(model, tx)
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.array, variables), tx)
+        _, lv = step(state, img, gt, jax.random.PRNGKey(0))
+        losses[with_cp] = float(lv['loss'])
+    assert abs(losses[False] - losses[True]) < 1e-5, losses
+
+
 def test_transunet():
     _full(dict(type='TransUNet', img_dim=32, in_channels=3, out_channels=16,
                head_num=4, mlp_dim=32, block_num=2, patch_dim=16,

@@ -79,7 +79,10 @@ def probe_tier(cfg_path, variables, b, mode):
         dict(type='Adam', lr=1e-5, betas=(0.9, 0.999)), schedule=schedule)
     step = make_train_step(model, tx, compute_dtype=jnp.bfloat16,
                            remat=(mode == 'loss_remat'))
-    state = TrainState.create(variables, tx)
+    # the step donates its state: give every tier fresh buffers (reusing
+    # `variables` leaves across tiers raises "Array has been deleted")
+    state = TrainState.create(
+        jax.tree_util.tree_map(jnp.array, variables), tx)
     rng = jax.random.PRNGKey(0)
     img_np = np.random.RandomState(0).rand(b, SIZE, SIZE, 3).astype(np.float32)
     img = jnp.asarray(img_np)
