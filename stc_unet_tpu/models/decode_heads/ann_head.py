@@ -17,36 +17,42 @@ from ..utils.self_attention_block import SelfAttentionBlock
 from .decode_head import BaseDecodeHead
 
 
-class PPMConcat(nn.Module):
+def ppm_concat(feats, pool_scales):
     """Flatten-and-concat pyramid pooling over several scales
-    (reference ``ann_head.py:11-30``)."""
+    (reference ``ann_head.py:11-30``): (B, H, W, C) → (B, K, C) tokens."""
+    b, _, _, c = feats.shape
+    outs = []
+    for scale in pool_scales:
+        p = adaptive_avg_pool2d(feats, scale)
+        outs.append(p.reshape(b, -1, c))
+    return jnp.concatenate(outs, axis=1)  # (B, K, C)
+
+
+class PPMConcat(nn.Module):
+    """Module wrapper over ``ppm_concat`` (reference PPMConcat is an
+    nn.ModuleList; stateless here)."""
     pool_scales: Sequence[int] = (1, 3, 6, 8)
 
-    @nn.compact
     def __call__(self, feats):
-        b, _, _, c = feats.shape
-        outs = []
-        for scale in self.pool_scales:
-            p = adaptive_avg_pool2d(feats, scale)
-            outs.append(p.reshape(b, -1, c))
-        return jnp.concatenate(outs, axis=1)  # (B, K, C)
+        return ppm_concat(feats, self.pool_scales)
 
 
 class _PyramidKeyAttention(SelfAttentionBlock):
-    """ANN's SelfAttentionBlock (reference ``ann_head.py:33-80``): keys and
-    values are PPM-sampled tokens; queries optionally maxpool-downsampled
-    via ``query_downsample`` (int) inherited from the base block.
+    """ANN's SelfAttentionBlock (reference ``ann_head.py:33-80``): the
+    PROJECTED key/value maps are PPM-sampled into tokens (reference applies
+    ``key_psp`` as ``key_downsample``, i.e. after the projections — the key
+    projection's ReLU does not commute with pooling, so pooling first is
+    numerically wrong; caught by test_stock_head_oracles). Queries are
+    optionally maxpool-downsampled via ``query_downsample`` (int).
 
     Reference flag set: key_query_num_convs=1, key_query_norm=True,
     value_out_num_convs=1, value_out_norm=False, matmul_norm=True,
     with_out=True (→ plain-conv zero-init out_project)."""
     key_pool_scales: Sequence[int] = (1, 3, 6, 8)
 
-    @nn.compact
-    def __call__(self, query_feats, key_feats, train: bool = False):
-        key_tokens = PPMConcat(tuple(self.key_pool_scales),
-                               name='key_psp')(key_feats)
-        return super().__call__(query_feats, key_tokens, train=train)
+    def _key_value_downsample(self, key, value):
+        return (ppm_concat(key, self.key_pool_scales),
+                ppm_concat(value, self.key_pool_scales))
 
 
 class AFNB(nn.Module):

@@ -57,6 +57,14 @@ class SelfAttentionBlock(nn.Module):
         return [Conv2d(channels, 1, name=f'{name}_{i}', **init)
                 for i in range(num_convs)]
 
+    def _key_value_downsample(self, key, value):
+        """Downsample the PROJECTED key/value maps (reference
+        ``self_attention_block.py:143-145``); overridable hook."""
+        if self.key_downsample and key.ndim == 4:
+            key = max_pool2d(key, self.key_downsample)
+            value = max_pool2d(value, self.key_downsample)
+        return key, value
+
     @staticmethod
     def _apply_proj(mods, x, train):
         spatial = x.ndim == 4
@@ -87,9 +95,12 @@ class SelfAttentionBlock(nn.Module):
         value = self._apply_proj(value_mods, key_feats, train)
         if self.query_downsample and query.ndim == 4:
             query = max_pool2d(query, self.query_downsample)
-        if self.key_downsample and key.ndim == 4:
-            key = max_pool2d(key, self.key_downsample)
-            value = max_pool2d(value, self.key_downsample)
+        # reference order (``self_attention_block.py:141-145``): the key and
+        # value maps are downsampled AFTER projection — the key projection's
+        # ReLU does not commute with pooling, so subclasses overriding
+        # ``_key_value_downsample`` (ANN's PPM sampling) must hook here, not
+        # pre-pool their inputs.
+        key, value = self._key_value_downsample(key, value)
 
         q_spatial = query.shape[1:-1]  # () for tokens, (H, W) for maps
         q = query.reshape(b, -1, self.channels)

@@ -17,12 +17,17 @@ class Encoding(nn.Module):
         """x (B, H, W, C) or (B, N, C) → (B, num_codes, C)."""
         c, k = self.channels, self.num_codes
         std = 1.0 / ((k * c) ** 0.5)
-        codewords = self.param('codewords',
-                               nn.initializers.uniform(2 * std), (k, c),
-                               jnp.float32) - std
-        # reference init: uniform(-1, 0) (``ops/encoding.py:28-30``)
-        scale = self.param('scale', nn.initializers.uniform(1.0),
-                           (k,), jnp.float32) - 1.0
+        # reference init: codewords uniform(-std, std), scale uniform(-1, 0)
+        # (``ops/encoding.py:22-31``). The shift must live in the INITIALIZER,
+        # not the forward — a forward-time `param - std` would silently
+        # offset converted/loaded checkpoints (caught by
+        # tests/test_models/test_heads/test_stock_head_oracles.py).
+        def _uniform(lo, hi):
+            def init(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype, lo, hi)
+            return init
+        codewords = self.param('codewords', _uniform(-std, std), (k, c))
+        scale = self.param('scale', _uniform(-1.0, 0.0), (k,))
         b = x.shape[0]
         flat = x.reshape(b, -1, c)
         # residuals (B, N, K, C)

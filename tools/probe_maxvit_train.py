@@ -125,7 +125,7 @@ def probe_tier(cfg_path, variables, b, mode):
 MODELS = {
     'MaxViT-UNet': [(8, 'plain'), (8, 'attn'), (8, 'dots'), (8, 'block'),
                     (4, 'plain'), (16, 'dots')],
-    'DC-UNet': [(8, 'plain'), (8, 'loss_remat'), (4, 'plain')],
+    'DC-UNet': [(8, 'plain'), (8, 'block'), (8, 'loss_remat'), (4, 'plain')],
 }
 
 
