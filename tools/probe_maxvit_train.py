@@ -67,8 +67,8 @@ def probe_tier(cfg_path, variables, b, mode):
     from stc_unet_tpu.engine import TrainState, make_train_step
 
     rec = {'batch': b, 'mode': mode}
-    with_cp = {'plain': None, 'loss_remat': None,
-               'block': 'block', 'attn': 'attn', 'dots': 'dots'}[mode]
+    with_cp = {'plain': None, 'loss_remat': None, 'block': True,
+               'attn': 'attn', 'dots': 'dots', 'hires': 'hires'}[mode]
     model = build_model(cfg_path, with_cp=with_cp)
     model.variables = variables
 
@@ -125,7 +125,8 @@ def probe_tier(cfg_path, variables, b, mode):
 MODELS = {
     'MaxViT-UNet': [(8, 'plain'), (8, 'attn'), (8, 'dots'), (8, 'block'),
                     (4, 'plain'), (16, 'dots')],
-    'DC-UNet': [(8, 'plain'), (8, 'block'), (8, 'loss_remat'), (4, 'plain')],
+    'DC-UNet': [(8, 'plain'), (8, 'hires'), (8, 'block'), (8, 'loss_remat'),
+                (4, 'plain')],
 }
 
 
