@@ -12,6 +12,7 @@ from stc_unet_tpu.ops import resize
 from ..bricks import (BatchNorm, Conv2d, ConvModule, adaptive_avg_pool2d,
                       avg_pool2d)
 from ..builder import HEADS
+from ..utils.self_attention_block import SelfAttentionBlock as _SAB
 from .decode_head import BaseDecodeHead
 from .fcn_head import FCNHead
 from .nl_head import NonLocal2d
@@ -108,7 +109,8 @@ class DCM(nn.Module):
             x, train=train)
         b, h, w, c = inp.shape
         pad = (k - 1) // 2
-        pr = (pad, pad + 1) if (k - 1) % 2 != 0 else (pad, pad)
+        # reference dm_head.py:74-78: even filters pad LEFT/TOP one extra
+        pr = (pad + 1, pad) if (k - 1) % 2 != 0 else (pad, pad)
         inp_p = jnp.pad(inp, ((0, 0), pr, pr, (0, 0)))
         # per-sample depthwise dynamic conv via vmap
         def one(xi, fi):
@@ -175,18 +177,25 @@ class ACM(nn.Module):
         inp = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
                          act_cfg=self.act_cfg, name='input_redu_conv')(
             x, train=train)
-        global_info = Conv2d(self.channels, 1, name='global_info_conv')(
-            adaptive_avg_pool2d(inp, 1))
+        # reference apc_head.py:52-58: global_info is a full ConvModule
+        # (norm+act), the affinity is a plain sigmoid (NO row
+        # normalization), and z passes residual_conv then relu(z + x) —
+        # deviations here were caught by test_stock_head_oracles.
+        global_info = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                                 act_cfg=self.act_cfg, name='global_info')(
+            adaptive_avg_pool2d(inp, 1), train=train)
         affinity_map = Conv2d(s * s, 1, name='gla')(
             inp + resize(global_info, size=(h, w), mode='bilinear',
                          align_corners=False, warning=False))
         affinity_map = jax.nn.sigmoid(affinity_map)
         affinity_map = affinity_map.reshape(b, h * w, s * s)
-        affinity_map = affinity_map / (
-            1e-6 + affinity_map.sum(axis=-1, keepdims=True))
         z = jnp.einsum('bps,bsc->bpc', affinity_map,
                        pooled.reshape(b, s * s, self.channels))
         z = z.reshape(b, h, w, self.channels)
+        z = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                       act_cfg=self.act_cfg, name='residual_conv')(
+            z, train=train)
+        z = nn.relu(z + inp)
         if self.fusion:
             z = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
                            act_cfg=self.act_cfg,
@@ -280,6 +289,20 @@ class DNLHead(FCNHead):
         return self.cls_seg(feats, train=train)
 
 
+class _ISAAttention(_SAB):
+    """ISA's SelfAttentionBlock (reference ``isa_head.py:13-55``): plain-conv
+    value (value_out_norm=False, with_out=False) followed by a SEPARATE
+    ``output_project`` ConvModule (norm+act) — NOT a normed value projection
+    (that mismatch was caught by test_stock_head_oracles)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        context = super().__call__(x, x, train=train)
+        return ConvModule(self.out_channels, 1, norm_cfg=self.norm_cfg,
+                          act_cfg=self.act_cfg, name='output_project')(
+            context, train=train)
+
+
 @HEADS.register_module()
 class ISAHead(BaseDecodeHead):
     """Interlaced sparse self-attention (reference ``isa_head.py``, 143)."""
@@ -288,7 +311,6 @@ class ISAHead(BaseDecodeHead):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
-        from ..utils.self_attention_block import SelfAttentionBlock as SAB
         x = self._transform_inputs(inputs)
         x_ = ConvModule(self.channels, 3, padding=1,
                         norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
@@ -305,24 +327,25 @@ class ISAHead(BaseDecodeHead):
         # long-range: group distant pixels
         g = x_.reshape(b, qh, ph, qw, pw, c)
         g = g.transpose(0, 2, 4, 1, 3, 5).reshape(b * ph * pw, qh, qw, c)
-        g = SAB(key_in_channels=c, query_in_channels=c,
-                channels=self.isa_channels, out_channels=c,
-                share_key_query=False, key_query_num_convs=2,
-                value_out_num_convs=1, key_query_norm=True,
-                value_out_norm=True, matmul_norm=True, with_out=False,
-                norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
-                name='global_relation')(g, g, train=train)
-        # value projects straight to out_channels=c (mmseg semantics)
+        g = _ISAAttention(key_in_channels=c, query_in_channels=c,
+                          channels=self.isa_channels, out_channels=c,
+                          share_key_query=False, key_query_num_convs=2,
+                          value_out_num_convs=1, key_query_norm=True,
+                          value_out_norm=False, matmul_norm=True,
+                          with_out=False, norm_cfg=self.norm_cfg,
+                          act_cfg=self.act_cfg,
+                          name='global_relation')(g, train=train)
         # short-range: local groups
         g = g.reshape(b, ph, pw, qh, qw, c)
         g = g.transpose(0, 3, 4, 1, 2, 5).reshape(b * qh * qw, ph, pw, c)
-        g = SAB(key_in_channels=c, query_in_channels=c,
-                channels=self.isa_channels, out_channels=c,
-                share_key_query=False, key_query_num_convs=2,
-                value_out_num_convs=1, key_query_norm=True,
-                value_out_norm=True, matmul_norm=True, with_out=False,
-                norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
-                name='local_relation')(g, g, train=train)
+        g = _ISAAttention(key_in_channels=c, query_in_channels=c,
+                          channels=self.isa_channels, out_channels=c,
+                          share_key_query=False, key_query_num_convs=2,
+                          value_out_num_convs=1, key_query_norm=True,
+                          value_out_norm=False, matmul_norm=True,
+                          with_out=False, norm_cfg=self.norm_cfg,
+                          act_cfg=self.act_cfg,
+                          name='local_relation')(g, train=train)
         g = g.reshape(b, qh, qw, ph, pw, c)
         x_ = g.transpose(0, 1, 3, 2, 4, 5).reshape(b, qh * ph, qw * pw, c)
         if pad_h > 0 or pad_w > 0:

@@ -71,10 +71,22 @@ class NLHead(FCNHead):
 
 
 class ContextBlock(nn.Module):
-    """Global-context block (mmcv ``ContextBlock``, GCNet)."""
+    """Global-context block (mmcv ``ContextBlock``, GCNet).
+
+    ``fusion_types`` uses the mmcv vocabulary ``'channel_add'`` /
+    ``'channel_mul'`` — an earlier ``'add'`` spelling silently routed
+    config-driven ``('channel_add',)`` into the MULTIPLY branch."""
     ratio: float = 0.25
     pooling_type: str = 'att'
-    fusion_types: Sequence[str] = ('add',)
+    fusion_types: Sequence[str] = ('channel_add',)
+
+    def __post_init__(self):
+        assert self.pooling_type in ('avg', 'att')
+        assert all(f in ('channel_add', 'channel_mul')
+                   for f in self.fusion_types), \
+            f'invalid fusion_types {self.fusion_types!r}'
+        assert len(self.fusion_types) > 0, 'at least one fusion required'
+        super().__post_init__()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,12 +102,15 @@ class ContextBlock(nn.Module):
         out = x
         for fusion in self.fusion_types:
             y = Conv2d(planes, 1, name=f'{fusion}_conv1')(context)
-            y = nn.LayerNorm(name=f'{fusion}_ln', dtype=y.dtype)(y)
+            # torch nn.LayerNorm eps (mmcv ContextBlock) is 1e-5, not
+            # flax's 1e-6 default
+            y = nn.LayerNorm(epsilon=1e-5, name=f'{fusion}_ln',
+                             dtype=y.dtype)(y)
             y = nn.relu(y)
             y = Conv2d(c, 1, name=f'{fusion}_conv2')(y)
-            if fusion == 'add':
+            if fusion == 'channel_add':
                 out = out + y
-            else:  # channel_mul
+            else:  # channel_mul (reference: sigmoid gate)
                 out = out * nn.sigmoid(y)
         return out
 
@@ -105,7 +120,7 @@ class GCHead(FCNHead):
     """FCN head with a global-context block (reference ``gc_head.py``)."""
     ratio: float = 0.25
     pooling_type: str = 'att'
-    fusion_types: Sequence[str] = ('add',)
+    fusion_types: Sequence[str] = ('channel_add',)
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):

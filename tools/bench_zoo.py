@@ -135,7 +135,7 @@ def bench_one(cfg_path):
         # whole ladder recorded in ``train_tiers``.
         cp_types = {'MaxViT': ('attn', 'block'),
                     'MaxViTDecoder': ('attn', 'block'),
-                    'DC_Unet': ('block',)}
+                    'DC_Unet': ('hires', 'block')}
         cp_keys = [k for k in ('backbone', 'decode_head')
                    if isinstance(cfg.model.get(k), dict)
                    and cfg.model[k].get('type') in cp_types]
