@@ -15,15 +15,19 @@ import jax
 import jax.numpy as jnp
 
 from stc_unet_tpu.ops import resize
-from ..bricks import Conv2d, ConvModule
 from ..builder import HEADS
 from .cascade_decode_head import BaseCascadeDecodeHead
 
 
-def point_sample(feats, points, align_corners=False):
-    """Bilinear-sample features at normalized points.
+def point_sample(feats, points, align_corners=False, mode='bilinear'):
+    """Sample features at normalized points with mmcv ``point_sample``
+    semantics: [0,1] coords → ``F.grid_sample`` with
+    ``padding_mode='zeros'`` — out-of-bounds taps contribute ZERO (edge
+    samples under align_corners=False live half a pixel outside and are
+    scaled down, NOT border-replicated; caught by
+    test_stock_head_oracles_b3).
 
-    feats (B, H, W, C); points (B, P, 2) in [0, 1] (x, y) →  (B, P, C).
+    feats (B, H, W, C); points (B, P, 2) in [0, 1] (x, y) → (B, P, C).
     """
     b, h, w, c = feats.shape
     x = points[..., 0]
@@ -34,24 +38,36 @@ def point_sample(feats, points, align_corners=False):
     else:
         fx = x * w - 0.5
         fy = y * h - 0.5
-    x0 = jnp.clip(jnp.floor(fx), 0, w - 1)
-    y0 = jnp.clip(jnp.floor(fy), 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    wx = jnp.clip(fx - x0, 0.0, 1.0)[..., None]
-    wy = jnp.clip(fy - y0, 0.0, 1.0)[..., None]
-    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
-    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+    if mode == 'nearest':
+        # grid_sample nearest: round-half-away semantics are moot for
+        # continuous coords; torch rounds to nearest index then zero-pads
+        xi = jnp.round(fx).astype(jnp.int32)
+        yi = jnp.round(fy).astype(jnp.int32)
+        valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+        flat = feats.reshape(b, h * w, c)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        v = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return v * valid[..., None].astype(v.dtype)
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    x1 = x0 + 1
+    y1 = y0 + 1
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
 
     def gather(yi, xi):
+        valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+        yic = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xic = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         flat = feats.reshape(b, h * w, c)
-        idx = yi * w + xi
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+        idx = yic * w + xic
+        v = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return v * valid[..., None].astype(v.dtype)
 
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x1i)
-    v10 = gather(y1i, x0i)
-    v11 = gather(y1i, x1i)
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
@@ -76,11 +92,6 @@ class PointHead(BaseCascadeDecodeHead):
     scale_factor: int = 2
     subdivision_steps: int = 2
     subdivision_num_points: int = 8196
-
-    def _fc_layers(self):
-        return [ConvModule(self.channels, 1, conv_cfg=dict(type='Conv1d'),
-                           norm_cfg=None, act_cfg=self.act_cfg,
-                           name=f'fcs_{i}') for i in range(self.num_fcs)]
 
     def _make_mlp(self):
         """Construct the point-MLP modules ONCE (reused across the
@@ -150,7 +161,9 @@ class PointHead(BaseCascadeDecodeHead):
                 pts = jnp.stack([(xs + 0.5) / ww, (ys + 0.5) / hh],
                                 axis=-1)
                 fine = self._sample_fine(x, pts)
-                coarse = point_sample(refined, pts,
+                # reference point_head.py:241-242: coarse feats come from
+                # the ORIGINAL prev_output every step, not the refined map
+                coarse = point_sample(prev_output, pts,
                                       align_corners=self.align_corners)
                 logits = self._apply_mlp(mlp_mods, fine, coarse,
                                          self.coarse_pred_each_layer)
@@ -171,11 +184,15 @@ class PointHead(BaseCascadeDecodeHead):
         return logits, points
 
     def loss_by_feat(self, seg_logit, seg_label, seg_weight=None) -> dict:
-        """Point-sampled CE: labels gathered at the same points."""
+        """Point-sampled CE: labels gathered at the same points
+        (reference point_head.py:200-205: NEAREST sampling of the label
+        map, not bilinear+round)."""
+        from ..losses import accuracy
         point_logits, points = seg_logit
         label = seg_label[..., None].astype(jnp.float32)
-        point_label = point_sample(label, points)[..., 0]
-        point_label = jnp.round(point_label).astype(jnp.int32)
+        point_label = point_sample(label, points, mode='nearest',
+                                   align_corners=self.align_corners)[..., 0]
+        point_label = point_label.astype(jnp.int32)
         loss = {}
         for loss_decode in self.build_losses():
             name = 'point' + loss_decode.loss_name[4:] \
@@ -185,4 +202,7 @@ class PointHead(BaseCascadeDecodeHead):
                                 ignore_index=self.ignore_index)
             loss[f'loss_{name}' if not name.startswith('loss') else name] = \
                 value
+        # reference point_head.py:267-268
+        loss['acc_point'] = accuracy(point_logits, point_label,
+                                     ignore_index=self.ignore_index)
         return loss
