@@ -62,6 +62,8 @@ class BaseDecodeHead(nn.Module):
     sampler: Optional[dict] = None
     align_corners: bool = False
     init_cfg: Optional[dict] = None
+    # K-Net hook: cls_seg returns (logits, pre-dropout feats) when set
+    return_feat: bool = False
 
     # -- static (non-flax) helpers -----------------------------------------
 
@@ -128,12 +130,20 @@ class BaseDecodeHead(nn.Module):
         """Dropout2d + 1x1 conv classifier (reference ``:254``).
 
         Must be called from inside the subclass's compact ``__call__``.
+        With ``return_feat=True`` also returns the pre-dropout feature map
+        (≙ the reference's ``_forward_feature`` split — K-Net's
+        IterativeDecodeHead needs the generate head's features AND logits,
+        reference ``knet_head.py:434-436``).
         """
+        pre = feat
         if self.dropout_ratio > 0:
             feat = Dropout2d(self.dropout_ratio, name='dropout')(
                 feat, train=train)
-        return Conv2d(self.final_out_channels, kernel_size=1,
-                      name='conv_seg')(feat)
+        logits = Conv2d(self.final_out_channels, kernel_size=1,
+                        name='conv_seg')(feat)
+        if getattr(self, 'return_feat', False):
+            return logits, pre
+        return logits
 
     # -- loss (pure; no flax state) -----------------------------------------
 

@@ -1,134 +1,268 @@
 """K-Net heads (≙ reference ``decode_heads/knet_head.py:457`` —
 IterativeDecodeHead / KernelUpdateHead / KernelUpdator).
 
-Dynamic-kernel segmentation: a generate head produces seed logits and a
-feature map; each stage mask-pools per-class features, updates the class
-kernels through a gated linear unit + kernel self-attention, and re-predicts
-the masks. All stages are static-count python loops — one XLA program.
+Dynamic-kernel segmentation, reference-faithful: the generate head's
+``conv_seg`` WEIGHTS seed the per-class kernels (``knet_head.py:436``);
+each stage mask-pools per-class features, updates the kernels through the
+gated KernelUpdator (reference Eq.(4)/(5) reshapes kept verbatim — the
+head's 512-d kernels are viewed as two 256-d rows when the updator's
+``in_channels`` is half the head's), runs kernel self-attention
+(torch-parameterized MHA + residual + LN, ≙ mmcv MultiheadAttention) and
+an mmcv-style FFN, then re-predicts masks with the updated kernels as
+per-sample conv filters. All stages are static-count python loops — one
+XLA program.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from stc_unet_tpu.ops import resize
+from ..backbones.unet_backbone import MultiheadAttention
+from ..bricks import ConvModule, build_activation_layer
 from ..builder import HEADS, build_head
 from .decode_head import BaseDecodeHead
 
 
 @HEADS.register_module()
 class KernelUpdator(nn.Module):
-    """Adaptive gated kernel update (reference ``KernelUpdator``; registered
-    in HEADS like the reference ``knet_head.py`` ``__all__``)."""
+    """Adaptive gated kernel update (reference ``knet_head.py:16-139``).
+
+    ``update_feature`` is reshaped to rows of ``in_channels`` and
+    ``input_feature`` to (rows, -1, feat_channels) EXACTLY like the
+    reference — when the head's kernel dim is a multiple of
+    ``in_channels``, each kernel is updated as several independent rows
+    (the shipped K-Net configs use 512-d kernels with a 256-d updator).
+    """
     in_channels: int = 256
     feat_channels: int = 64
     out_channels: Optional[int] = None
     gate_sigmoid: bool = True
     gate_norm_act: bool = False
     activate_out: bool = False
+    act_cfg: Optional[dict] = None
+    norm_cfg: Optional[dict] = None  # reference default LN; only LN here
+
+    def __post_init__(self):
+        if self.norm_cfg is not None:
+            assert dict(self.norm_cfg).get('type') == 'LN', \
+                f'KernelUpdator only supports LN, got {self.norm_cfg!r}'
+        super().__post_init__()
 
     @nn.compact
     def __call__(self, update_feature, input_feature):
-        """update_feature (B*K, C) pooled feats; input_feature (B*K, C)
-        kernels → updated kernels (B*K, C)."""
-        c = self.feat_channels
+        """update_feature (..., in_channels) pooled feats; input_feature
+        (rows, L, feat_channels)-reshapeable kernels → (rows, L, out_c)."""
+        feat = self.feat_channels
         out_c = self.out_channels or self.in_channels
-        param_in = nn.Dense(c * 2, name='dynamic_layer',
-                            dtype=update_feature.dtype)(update_feature)
-        param1, param2 = param_in[..., :c], param_in[..., c:]
-        input_feats = nn.Dense(c * 2, name='input_layer',
-                               dtype=input_feature.dtype)(input_feature)
-        input1, input2 = input_feats[..., :c], input_feats[..., c:]
-        gate_feats = input1 * param1
+        act = build_activation_layer(self.act_cfg or dict(type='ReLU'))
+        flat_input = input_feature.ndim == 2
+
+        update_feature = update_feature.reshape(-1, self.in_channels)
+        rows = update_feature.shape[0]
+        parameters = nn.Dense(feat * 2, name='dynamic_layer',
+                              dtype=update_feature.dtype)(update_feature)
+        param_in = parameters[:, :feat]
+        param_out = parameters[:, feat:]
+
+        input_feats = nn.Dense(feat * 2, name='input_layer',
+                               dtype=update_feature.dtype)(
+            input_feature.reshape(rows, -1, feat))
+        input_in = input_feats[..., :feat]
+        input_out = input_feats[..., feat:]
+
+        gate_feats = input_in * param_in[:, None, :]
         if self.gate_norm_act:
-            gate_feats = nn.gelu(nn.LayerNorm(
-                name='gate_norm', dtype=gate_feats.dtype)(gate_feats))
-        input_gate = nn.LayerNorm(name='input_norm_in',
+            gate_feats = act(nn.LayerNorm(
+                epsilon=1e-5, name='gate_norm',
+                dtype=gate_feats.dtype)(gate_feats))
+        input_gate = nn.LayerNorm(epsilon=1e-5, name='input_norm_in',
                                   dtype=gate_feats.dtype)(
-            nn.Dense(c, name='input_gate',
+            nn.Dense(feat, name='input_gate',
                      dtype=gate_feats.dtype)(gate_feats))
-        update_gate = nn.LayerNorm(name='update_norm_in',
+        update_gate = nn.LayerNorm(epsilon=1e-5, name='norm_in',
                                    dtype=gate_feats.dtype)(
-            nn.Dense(c, name='update_gate',
+            nn.Dense(feat, name='update_gate',
                      dtype=gate_feats.dtype)(gate_feats))
         if self.gate_sigmoid:
             input_gate = nn.sigmoid(input_gate)
             update_gate = nn.sigmoid(update_gate)
-        param2 = nn.LayerNorm(name='norm_in', dtype=param2.dtype)(param2)
-        input2 = nn.LayerNorm(name='input_norm_out',
-                              dtype=input2.dtype)(input2)
-        features = update_gate * param2 + input_gate * input2
+        param_out = nn.LayerNorm(epsilon=1e-5, name='norm_out',
+                                 dtype=param_out.dtype)(param_out)
+        input_out = nn.LayerNorm(epsilon=1e-5, name='input_norm_out',
+                                 dtype=input_out.dtype)(input_out)
+        if self.activate_out:
+            param_out = act(param_out)
+            input_out = act(input_out)
+
+        # gate mechanism, Eq.(5)
+        features = update_gate * param_out[:, None, :] + \
+            input_gate * input_out
         features = nn.Dense(out_c, name='fc_layer',
                             dtype=features.dtype)(features)
-        features = nn.LayerNorm(name='fc_norm',
+        features = nn.LayerNorm(epsilon=1e-5, name='fc_norm',
                                 dtype=features.dtype)(features)
-        return nn.gelu(features)
+        features = act(features)
+        return features[:, 0, :] if flat_input else features
 
 
 @HEADS.register_module()
 class KernelUpdateHead(nn.Module):
-    """One K-Net refinement stage (reference ``KernelUpdateHead``)."""
+    """One K-Net refinement stage (reference ``knet_head.py:142-392``)."""
     num_classes: int = 150
-    num_heads: int = 8
     num_ffn_fcs: int = 2
+    num_heads: int = 8
+    num_mask_fcs: int = 3
     feedforward_channels: int = 2048
     in_channels: int = 256
-    out_channels: int = 256
+    out_channels: Optional[int] = None  # None → in_channels
     dropout: float = 0.0
+    act_cfg: Optional[dict] = None
+    ffn_act_cfg: Optional[dict] = None
+    conv_kernel_size: int = 1
+    feat_transform_cfg: Optional[dict] = None
+    kernel_init: bool = False
+    with_ffn: bool = True
+    feat_gather_stride: int = 1
+    mask_transform_stride: int = 1
     kernel_updator_cfg: Optional[dict] = None
 
     @nn.compact
-    def __call__(self, x, proposal_feat, mask_preds, train: bool = False):
-        """x (B, H, W, C); proposal_feat (B, K, C) kernels;
-        mask_preds (B, H, W, K) → (new_mask_preds, new_kernels)."""
-        b, h, w, c = x.shape
-        k = self.num_classes
-        # mask-pool features per kernel
-        sigmoid_masks = jax.nn.softmax(mask_preds, axis=-1)
-        pooled = jnp.einsum('bhwk,bhwc->bkc', sigmoid_masks, x)
-        # kernel update
-        upd_cfg = dict(self.kernel_updator_cfg or {})
+    def __call__(self, x, proposal_feat, mask_preds, train: bool = False,
+                 mask_shape=None):
+        """x (B, H, W, C) feature map; proposal_feat (B, N, K*K, C) (or
+        (B, N, C) for K=1) kernels; mask_preds (B, H', W', N) →
+        (new_masks, new_kernels matching proposal_feat's rank)."""
+        b = x.shape[0]
+        n = proposal_feat.shape[1]
+        kk = self.conv_kernel_size ** 2
+        squeeze_kernels = proposal_feat.ndim == 3
+        if squeeze_kernels:
+            proposal_feat = proposal_feat[:, :, None, :]
+        if self.feat_transform_cfg is not None:
+            ft_cfg = dict(self.feat_transform_cfg)
+            ksize = ft_cfg.pop('kernel_size', 1)
+            ft_cfg.pop('conv_cfg', None)
+            x = ConvModule(self.in_channels, ksize,
+                           stride=self.feat_gather_stride,
+                           padding=int(self.feat_gather_stride // 2),
+                           name='feat_transform', **ft_cfg)(x, train=train)
+        h, w, c = x.shape[1:]
+
+        if mask_preds.shape[1:3] != (h, w):
+            gather_mask = resize(mask_preds, size=(h, w), mode='bilinear',
+                                 align_corners=False, warning=False)
+        else:
+            gather_mask = mask_preds
+        # reference :310 names it sigmoid_masks but applies softmax over N
+        sigmoid_masks = jax.nn.softmax(gather_mask, axis=-1)
+        # group feature assembling, Eq.(3)
+        x_feat = jnp.einsum('bhwn,bhwc->bnc', sigmoid_masks, x)
+
+        # default updator dims follow the head (the shipped configs pass
+        # in=feat=out=256 explicitly; feat must divide K*K*C for the
+        # reference's row reshape)
+        upd_cfg = dict(self.kernel_updator_cfg or dict(
+            in_channels=self.in_channels, feat_channels=self.in_channels,
+            out_channels=self.in_channels))
         upd_cfg.pop('type', None)
-        upd = KernelUpdator(in_channels=c, feat_channels=self.in_channels,
-                            out_channels=self.in_channels,
-                            name='kernel_update_conv', **{
-                                kk: vv for kk, vv in upd_cfg.items()
-                                if kk in ('gate_sigmoid', 'gate_norm_act',
-                                          'activate_out')})
-        kernels = upd(pooled.reshape(b * k, -1),
-                      proposal_feat.reshape(b * k, -1)).reshape(b, k, -1)
-        # kernel interaction: MHA over the K kernels
-        q = kernels
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=q.dtype,
-            name='attention')(q, q)
-        kernels = nn.LayerNorm(name='attention_norm',
-                               dtype=q.dtype)(q + attn)
-        # FFN
-        ffn = kernels
-        for i in range(self.num_ffn_fcs - 1):
-            ffn = nn.gelu(nn.Dense(self.feedforward_channels,
-                                   dtype=ffn.dtype, name=f'ffn_fc{i}')(ffn))
-        ffn = nn.Dense(kernels.shape[-1], dtype=ffn.dtype,
-                       name='ffn_out')(ffn)
-        kernels = nn.LayerNorm(name='ffn_norm',
-                               dtype=kernels.dtype)(kernels + ffn)
-        # mask head: project kernels, dot with features
-        mask_kernels = nn.Dense(c, dtype=kernels.dtype,
-                                name='fc_mask')(kernels)
-        new_masks = jnp.einsum('bkc,bhwc->bhwk', mask_kernels, x)
-        return new_masks, kernels
+        obj_feat = KernelUpdator(name='kernel_update_conv', **upd_cfg)(
+            x_feat, proposal_feat)
+
+        # kernel interaction: MHA over the N kernels (embed = C * K*K),
+        # mmcv MultiheadAttention semantics: residual add then LN
+        obj_feat = obj_feat.reshape(b, n, -1)
+        attn_out = MultiheadAttention(obj_feat.shape[-1], self.num_heads,
+                                      name='attention')(
+            obj_feat, obj_feat, obj_feat, train=train)
+        attn_out = nn.Dropout(self.dropout, deterministic=not train)(
+            attn_out)
+        obj_feat = nn.LayerNorm(epsilon=1e-5, name='attention_norm',
+                                dtype=obj_feat.dtype)(obj_feat + attn_out)
+
+        obj_feat = obj_feat.reshape(b, n, kk, self.in_channels)
+
+        if self.with_ffn:
+            ffn_act = build_activation_layer(self.ffn_act_cfg or
+                                             dict(type='ReLU'))
+            y = obj_feat
+            for i in range(self.num_ffn_fcs - 1):
+                y = nn.Dropout(self.dropout, deterministic=not train)(
+                    ffn_act(nn.Dense(self.feedforward_channels,
+                                     dtype=y.dtype,
+                                     name=f'ffn_layers_{i}')(y)))
+            y = nn.Dense(self.in_channels, dtype=y.dtype, name='ffn_out')(y)
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            obj_feat = nn.LayerNorm(epsilon=1e-5, name='ffn_norm',
+                                    dtype=obj_feat.dtype)(obj_feat + y)
+
+        act = build_activation_layer(self.act_cfg or dict(type='ReLU'))
+        mask_feat = obj_feat
+        for i in range(self.num_mask_fcs):
+            mask_feat = act(nn.LayerNorm(
+                epsilon=1e-5, name=f'mask_fcs_{i}_norm',
+                dtype=mask_feat.dtype)(
+                nn.Dense(self.in_channels, use_bias=False,
+                         dtype=mask_feat.dtype,
+                         name=f'mask_fcs_{i}')(mask_feat)))
+        # (B, N, K*K, out_channels)
+        out_channels = self.out_channels or self.in_channels
+        mask_feat = nn.Dense(out_channels, dtype=mask_feat.dtype,
+                             name='fc_mask')(mask_feat)
+
+        if (self.mask_transform_stride == 2 and
+                self.feat_gather_stride == 1):
+            mask_x = resize(x, scale_factor=0.5, mode='bilinear',
+                            align_corners=False, warning=False)
+            h, w = mask_x.shape[1:3]
+        else:
+            mask_x = x
+        ks = self.conv_kernel_size
+        # per-sample dynamic conv: kernels (B, N, K*K, C) → HWIO (K,K,C,N)
+        kernel_hwio = mask_feat.reshape(b, n, ks, ks, out_channels)
+        kernel_hwio = kernel_hwio.transpose(0, 2, 3, 4, 1)
+
+        def one(xi, wi):
+            return jax.lax.conv_general_dilated(
+                xi[None], wi.astype(xi.dtype), (1, 1),
+                [(ks // 2, ks // 2)] * 2,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0]
+        new_masks = jax.vmap(one)(mask_x, kernel_hwio)  # (B, H, W, N)
+
+        if self.mask_transform_stride == 2:
+            new_masks = resize(new_masks, scale_factor=2, mode='bilinear',
+                               align_corners=False, warning=False)
+        if mask_shape is not None and mask_shape[0] != h:
+            new_masks = resize(new_masks, size=mask_shape, mode='bilinear',
+                               align_corners=False, warning=False)
+        if squeeze_kernels:
+            return new_masks, obj_feat[:, :, 0, :]
+        return new_masks, obj_feat
 
 
 @HEADS.register_module()
 class IterativeDecodeHead(BaseDecodeHead):
-    """K-Net iterative decode head (reference ``IterativeDecodeHead``)."""
+    """K-Net iterative decode head (reference ``knet_head.py:394-457``).
+
+    The seed kernels are the GENERATE HEAD'S ``conv_seg`` weights
+    (reference :436 ``seg_kernels = conv_seg.weight.clone()``), not a
+    separate parameter — training moves them through both the seg loss at
+    stage 0 and the kernel-update path.
+    """
     num_stages: int = 3
     kernel_generate_head: Optional[dict] = None
     kernel_update_head: Any = None
+
+    def __post_init__(self):
+        if isinstance(self.kernel_update_head, (list, tuple)):
+            assert self.num_stages == len(self.kernel_update_head), \
+                (f'num_stages ({self.num_stages}) must equal '
+                 f'len(kernel_update_head) '
+                 f'({len(self.kernel_update_head)})')
+        super().__post_init__()
 
     @property
     def final_out_channels(self):
@@ -138,45 +272,38 @@ class IterativeDecodeHead(BaseDecodeHead):
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         gen_cfg = dict(self.kernel_generate_head)
+        gen_cfg['return_feat'] = True
+        gen_cfg['name'] = 'kernel_generate_head'
         gen_head = build_head(gen_cfg)
-        seg = gen_head(inputs, train=train)  # (B, h, w, K)
-        feats = inputs[gen_cfg.get('in_index', -1)] \
-            if not isinstance(gen_cfg.get('in_index', -1), (list, tuple)) \
-            else inputs[-1]
-        k = seg.shape[-1]
-        c = feats.shape[-1]
-        if seg.shape[1:3] != feats.shape[1:3]:
-            seg_r = resize(seg, size=feats.shape[1:3], mode='bilinear',
-                           align_corners=self.align_corners, warning=False)
-        else:
-            seg_r = seg
-        kernels = self.param('init_kernels',
-                             nn.initializers.normal(0.02), (1, k, c),
-                             jnp.float32)
-        kernels = jnp.broadcast_to(kernels,
-                                   (feats.shape[0], k, c)).astype(
-            feats.dtype)
-        stage_segs = [seg]
+        sem_seg, feats = gen_head(inputs, train=train)
+        # seed kernels = the generate head's classifier weights
+        # (HWIO (kh, kw, C, N) → (B, N, kh*kw, C))
+        seg_kernels = gen_head.variables['params']['conv_seg']['conv'][
+            'kernel']
+        kh, kw, c, k = seg_kernels.shape
+        seg_kernels = seg_kernels.transpose(3, 0, 1, 2).reshape(
+            k, kh * kw, c)
+        seg_kernels = jnp.broadcast_to(
+            seg_kernels[None], (feats.shape[0],) + seg_kernels.shape
+        ).astype(feats.dtype)
+
         from collections.abc import Mapping
         upd_cfgs = self.kernel_update_head
-        if isinstance(upd_cfgs, Mapping):  # incl. flax FrozenDict
+        if upd_cfgs is None or isinstance(upd_cfgs, Mapping):
             upd_cfgs = [upd_cfgs] * self.num_stages
-        masks = seg_r
+        stage_segs = [sem_seg]
+        masks = sem_seg
         for i in range(self.num_stages):
-            cfg = dict(upd_cfgs[i]) if upd_cfgs else {}
+            cfg = dict(upd_cfgs[i] or {})
             cfg.pop('type', None)
-            allowed = ('num_classes', 'num_heads', 'num_ffn_fcs',
-                       'feedforward_channels', 'in_channels',
-                       'out_channels', 'dropout', 'kernel_updator_cfg')
-            cfg = {kk: vv for kk, vv in cfg.items() if kk in allowed}
             cfg.setdefault('num_classes', k)
-            masks, kernels = KernelUpdateHead(
+            masks, seg_kernels = KernelUpdateHead(
                 name=f'kernel_update_head_{i}', **cfg)(
-                feats, kernels, masks, train=train)
+                feats, seg_kernels, masks, train=train)
             stage_segs.append(masks)
         if train:
             return stage_segs
-        return stage_segs[-1]
+        return stage_segs[-1]  # reference :448: eval uses the last stage
 
     def loss_by_feat(self, seg_logit, seg_label, seg_weight=None) -> dict:
         if not isinstance(seg_logit, list):
@@ -185,5 +312,6 @@ class IterativeDecodeHead(BaseDecodeHead):
         for i, logit in enumerate(seg_logit):
             sub = super().loss_by_feat(logit, seg_label, seg_weight)
             for kk, vv in sub.items():
-                losses[f's{i}.{kk}'] = vv
+                # reference :456: stage-suffixed keys ('loss_ce.s0', ...)
+                losses[f'{kk}.s{i}'] = vv
         return losses

@@ -56,6 +56,7 @@ def test_knet_iterative_head():
     assert len(outs) == 3
     losses = knet.loss_by_feat(
         outs, np.random.RandomState(1).randint(0, 5, (1, 8, 8)))
-    assert 's0.loss_ce' in losses and 's2.loss_ce' in losses
+    # reference knet_head.py:456 stage-suffix convention
+    assert 'loss_ce.s0' in losses and 'loss_ce.s2' in losses
     for k, val in losses.items():
         assert np.isfinite(float(val)), k
