@@ -34,7 +34,10 @@ class ReassembleBlocks(nn.Module):
                                            tokens.shape)
                     tokens = Linear(c, name=f'readout_projects_{i}')(
                         jnp.concatenate([tokens, cls], axis=-1))
-                    x = nn.gelu(tokens).reshape(b, h, w, c)
+                    # torch GELU is the exact erf form (flax defaults to
+                    # the tanh approximation)
+                    x = nn.gelu(tokens,
+                                approximate=False).reshape(b, h, w, c)
                 elif self.readout_type == 'add':
                     x = x + cls_token[:, None, None, :]
                 # 'ignore': drop the cls token
@@ -80,6 +83,11 @@ class FeatureFusionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
         if skip is not None:
+            # reference dpt_head.py:196-203: mismatched skips resize to x
+            # (align_corners=False here, regardless of self.align_corners)
+            if skip.shape[1:3] != x.shape[1:3]:
+                skip = resize(skip, size=x.shape[1:3], mode='bilinear',
+                              align_corners=False, warning=False)
             x = x + PreActResidualConvUnit(
                 self.channels, self.norm_cfg, name='res_conv_unit1')(
                 skip, train=train)
@@ -119,8 +127,10 @@ class DPTHead(BaseDecodeHead):
                     for i, c in enumerate(self.post_process_channels))
         x = ReassembleBlocks(self.embed_dims, ppc, self.readout_type,
                              name='reassemble_blocks')(x, train=train)
+        # reference dpt_head.py:259-266: bias=False (our ConvModule's
+        # 'auto' would add one since there is no norm)
         x = [ConvModule(self.channels, 3, padding=1, act_cfg=None,
-                        name=f'convs_{i}')(f, train=train)
+                        bias=False, name=f'convs_{i}')(f, train=train)
              for i, f in enumerate(x)]
         out = FeatureFusionBlock(self.channels, self.norm_cfg,
                                  name='fusion_blocks_0')(x[-1], train=train)
@@ -128,7 +138,10 @@ class DPTHead(BaseDecodeHead):
             out = FeatureFusionBlock(
                 self.channels, self.norm_cfg,
                 name=f'fusion_blocks_{i}')(out, x[-(i + 1)], train=train)
+        # reference dpt_head.py:272-277: project is a FULL ConvModule —
+        # mmcv's default act is ReLU (our brick defaults to None)
         out = ConvModule(self.channels, 3, padding=1,
                          norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg or dict(type='ReLU'),
                          name='project')(out, train=train)
         return self.cls_seg(out, train=train)

@@ -146,6 +146,8 @@ class KernelUpdateHead(nn.Module):
             ft_cfg = dict(self.feat_transform_cfg)
             ksize = ft_cfg.pop('kernel_size', 1)
             ft_cfg.pop('conv_cfg', None)
+            # mmcv ConvModule defaults act to ReLU; our brick defaults None
+            ft_cfg.setdefault('act_cfg', dict(type='ReLU'))
             x = ConvModule(self.in_channels, ksize,
                            stride=self.feat_gather_stride,
                            padding=int(self.feat_gather_stride // 2),

@@ -410,16 +410,32 @@ class LRASPPHead(BaseDecodeHead):
 @HEADS.register_module()
 class STDCHead(FCNHead):
     """STDC detail-guidance head (reference ``stdc_head.py``): the target is
-    a laplacian-style boundary map derived from the gt."""
+    a MULTI-SCALE laplacian boundary pyramid — stride-1/2/4 laplacian maps,
+    the strided ones nearest-upsampled then thresholded, fused with the
+    fixed (0.6, 0.3, 0.1) kernel and re-thresholded (reference
+    ``stdc_head.py:40-85``; the single-scale shortcut missed the multi-scale
+    dilation of thin boundaries)."""
     boundary_threshold: float = 0.1
 
     def loss_by_feat(self, seg_logit, seg_label, seg_weight=None) -> dict:
         lap = jnp.asarray([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]],
                           jnp.float32).reshape(3, 3, 1, 1)
         gt = seg_label.astype(jnp.float32)[..., None]
-        boundary = jax.lax.conv_general_dilated(
-            gt, lap, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        boundary = jnp.clip(boundary, 0, 1)
-        boundary = (boundary > self.boundary_threshold).astype(jnp.int32)
-        return super().loss_by_feat(seg_logit, boundary[..., 0], seg_weight)
+        thr = self.boundary_threshold
+
+        def lap_conv(stride):
+            out = jax.lax.conv_general_dilated(
+                gt, lap, (stride, stride), [(1, 1), (1, 1)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            return jnp.maximum(out, 0.0)  # reference clamp(min=0)
+
+        bt = (lap_conv(1) > thr).astype(jnp.float32)
+        hw = bt.shape[1:3]
+        bt_x2 = resize(lap_conv(2), size=hw, mode='nearest', warning=False)
+        bt_x4 = resize(lap_conv(4), size=hw, mode='nearest', warning=False)
+        bt_x2 = (bt_x2 > thr).astype(jnp.float32)
+        bt_x4 = (bt_x4 > thr).astype(jnp.float32)
+        pyramid = jnp.concatenate([bt, bt_x2, bt_x4], axis=-1)
+        fused = pyramid @ jnp.asarray([0.6, 0.3, 0.1], jnp.float32)
+        boundary = (fused > thr).astype(jnp.int32)
+        return super().loss_by_feat(seg_logit, boundary, seg_weight)

@@ -21,7 +21,9 @@
 set -u
 cd "$(dirname "$0")/.."
 
-PYTEST="python -m pytest -q ${PYTEST_ARGS:-}"
+# pytest.ini addopts already has -q; adding another makes -qq which
+# suppresses the final count line the artifact parses
+PYTEST="python -m pytest ${PYTEST_ARGS:-}"
 declare -a NAMES CMDS
 NAMES[1]="core/engine/data/apis/tools"
 CMDS[1]="$PYTEST tests/ --ignore=tests/test_models --ignore=tests/test_config_zoo.py --ignore=tests/test_zoo_forward_tier.py"
