@@ -384,22 +384,30 @@ class LRASPPHead(BaseDecodeHead):
         feats = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
                            act_cfg=self.act_cfg, name='aspp_conv')(
             x, train=train)
-        # image-pool gate (stride-pooled in the reference; global here
-        # keeps shapes static for any input size)
-        gate = avg_pool2d(x, min(49, x.shape[1]),
-                          stride=max(1, min(16, x.shape[1] // 2)),
-                          count_include_pad=False) \
-            if x.shape[1] >= 4 else jnp.mean(x, (1, 2), keepdims=True)
-        gate = Conv2d(self.channels, 1, name='image_pool_conv')(gate)
+        # image-pool gate: the reference uses a FIXED AvgPool2d(49,
+        # stride=(16, 20)) + bias-free 1x1 conv + sigmoid
+        # (``lraspp_head.py:60-67``); inputs smaller than the 49-window
+        # (where torch would raise) fall back to a global pool so tiny
+        # test shapes stay usable.
+        if x.shape[1] >= 49 and x.shape[2] >= 49:
+            pooled = avg_pool2d(x, 49, stride=(16, 20))
+        else:
+            pooled = jnp.mean(x, (1, 2), keepdims=True)
+        gate = Conv2d(self.channels, 1, use_bias=False,
+                      name='image_pool_conv')(pooled)
         gate = jax.nn.sigmoid(gate)
         gate = resize(gate, size=feats.shape[1:3], mode='bilinear',
                       align_corners=self.align_corners, warning=False)
         x = feats * gate
-        for i, (inp, ch) in enumerate(zip(inputs[:-1][::-1],
-                                          self.branch_channels[::-1])):
-            x = resize(x, size=inp.shape[1:3], mode='bilinear',
+        # reference ``lraspp_head.py:52``: a biased 1x1 conv after the gate
+        x = Conv2d(self.channels, 1, name='conv_up_input')(x)
+        # top-down: reference iterates branches len-1 .. 0 with ORIGINAL
+        # indices (convs[i] projects inputs[i])
+        for i in range(len(self.branch_channels) - 1, -1, -1):
+            x = resize(x, size=inputs[i].shape[1:3], mode='bilinear',
                        align_corners=self.align_corners, warning=False)
-            branch = Conv2d(ch, 1, name=f'convs_{i}')(inp)
+            branch = Conv2d(self.branch_channels[i], 1, use_bias=False,
+                            name=f'convs_{i}')(inputs[i])
             x = jnp.concatenate([x, branch], axis=-1)
             x = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
                            act_cfg=self.act_cfg,
