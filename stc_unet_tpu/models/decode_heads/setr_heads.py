@@ -109,7 +109,7 @@ class SegmenterMaskTransformerHead(BaseDecodeHead):
                           float(self.mlp_ratio), True, self.drop_rate,
                           self.attn_drop_rate, self.drop_path_rate,
                           name=f'layers_{i}')(x, train=train)
-        x = nn.LayerNorm(name='decoder_norm', dtype=x.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name='decoder_norm', dtype=x.dtype)(x)
         patches = Linear(self.embed_dims, use_bias=False,
                          name='patch_proj')(x[:, :-self.num_classes])
         cls_seg_feat = Linear(self.embed_dims, use_bias=False,
@@ -118,5 +118,5 @@ class SegmenterMaskTransformerHead(BaseDecodeHead):
         cls_seg_feat = cls_seg_feat / jnp.linalg.norm(
             cls_seg_feat, axis=-1, keepdims=True)
         masks = jnp.einsum('bpc,bkc->bpk', patches, cls_seg_feat)
-        masks = nn.LayerNorm(name='mask_norm', dtype=masks.dtype)(masks)
+        masks = nn.LayerNorm(epsilon=1e-5, name='mask_norm', dtype=masks.dtype)(masks)
         return masks.reshape(b, h, w, self.num_classes)

@@ -123,7 +123,7 @@ class SwinTransformerSys(nn.Module):
                 drop_path=dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])],
                 downsample=i < num_layers - 1,
                 name=f'layers_{i}')(x, train=train)
-        x = nn.LayerNorm(name='norm', dtype=x.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name='norm', dtype=x.dtype)(x)
 
         # decoder with skip concat
         for i in range(num_layers):
@@ -137,16 +137,20 @@ class SwinTransformerSys(nn.Module):
                                     axis=-1)
                 x = nn.Dense(dim, dtype=x.dtype,
                              name=f'concat_back_dim_{i}')(x)
-                d = self.depths[num_layers - 1 - i]
+                k = num_layers - 1 - i
+                d = self.depths[k]
+                # reference swinunet_head.py:705: the decoder reuses the
+                # ENCODER's stochastic-depth schedule slice, not zeros
+                dp = dpr[sum(self.depths[:k]):sum(self.depths[:k + 1])]
                 x = _StageUp(
                     dim=dim, input_resolution=(res, res), depth=d,
-                    num_heads=self.num_heads[num_layers - 1 - i],
+                    num_heads=self.num_heads[k],
                     window_size=self.window_size, mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias, drop=self.drop_rate,
-                    attn_drop=self.attn_drop_rate, drop_path=[0.0] * d,
+                    attn_drop=self.attn_drop_rate, drop_path=dp,
                     upsample=i < num_layers - 1,
                     name=f'layers_up_{i}')(x, train=train)
-        x = nn.LayerNorm(name='norm_up', dtype=x.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name='norm_up', dtype=x.dtype)(x)
 
         # final 4x expand + output conv (reference up_x4, ``:770-780``)
         x = FinalPatchExpandX4((pr, pr), self.embed_dim,

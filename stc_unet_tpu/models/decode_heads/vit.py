@@ -59,9 +59,9 @@ class TransformerEncoderBlock(nn.Module):
         a = MultiHeadAttention(self.embedding_dim, self.head_num,
                                name='multi_head_attention')(x, train=train)
         a = nn.Dropout(0.1, deterministic=not train)(a)
-        x = nn.LayerNorm(name='layer_norm1', dtype=x.dtype)(x + a)
+        x = nn.LayerNorm(epsilon=1e-5, name='layer_norm1', dtype=x.dtype)(x + a)
         m = MLP(self.embedding_dim, self.mlp_dim, name='mlp')(x, train=train)
-        return nn.LayerNorm(name='layer_norm2', dtype=x.dtype)(x + m)
+        return nn.LayerNorm(epsilon=1e-5, name='layer_norm2', dtype=x.dtype)(x + m)
 
 
 class ViT(nn.Module):
@@ -83,8 +83,12 @@ class ViT(nn.Module):
         p = self.patch_dim
         b, h, w, c = x.shape
         tokens = (h // p) * (w // p)
-        patches = x.reshape(b, h // p, p, w // p, p, c)
-        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+        # reference vit.py:118-120 einops '(patch_x x)': the PATCH factor is
+        # the SLOW axis — H splits into p contiguous bands of h/p rows (not
+        # the standard p-row windows). Inert at the shipped patch_dim=1 but
+        # checkpoint-bearing for any other patch size.
+        patches = x.reshape(b, p, h // p, p, w // p, c)
+        patches = patches.transpose(0, 2, 4, 1, 3, 5).reshape(
             b, tokens, p * p * c)
         project = nn.Dense(self.embedding_dim, dtype=x.dtype,
                            name='projection')(patches)

@@ -178,7 +178,7 @@ class SwinTransformerBlock(nn.Module):
         assert l == h * w, 'input feature has wrong size'
 
         shortcut = x
-        x = nn.LayerNorm(name='norm1', dtype=x.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name='norm1', dtype=x.dtype)(x)
         x = x.reshape(b, h, w, c)
         if shift_size > 0:
             x = jnp.roll(x, (-shift_size, -shift_size), axis=(1, 2))
@@ -199,7 +199,7 @@ class SwinTransformerBlock(nn.Module):
             x, train=train)
 
         shortcut = x
-        x = nn.LayerNorm(name='norm2', dtype=x.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name='norm2', dtype=x.dtype)(x)
         x = SwinMlp(int(self.dim * self.mlp_ratio), self.dim,
                     drop=self.drop, name='mlp')(x, train=train)
         return shortcut + DropPath(self.drop_path, name='drop_path2')(
@@ -223,7 +223,7 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = x.reshape(b, -1, 4 * c)
-        x = nn.LayerNorm(name='norm', dtype=x.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name='norm', dtype=x.dtype)(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=x.dtype,
                         name='reduction')(x)
 
@@ -244,7 +244,7 @@ class PatchExpand(nn.Module):
         assert l == h * w
         x = x.reshape(b, h, w, 2, 2, c // 4)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 2 * w * 2, c // 4)
-        return nn.LayerNorm(name='norm', dtype=x.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, name='norm', dtype=x.dtype)(x)
 
 
 class FinalPatchExpandX4(nn.Module):
@@ -264,7 +264,7 @@ class FinalPatchExpandX4(nn.Module):
         x = x.reshape(b, h, w, s, s, c // (s * s))
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * s * w * s,
                                                   self.dim)
-        return nn.LayerNorm(name='norm', dtype=x.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, name='norm', dtype=x.dtype)(x)
 
 
 class PatchEmbed(nn.Module):
@@ -282,5 +282,5 @@ class PatchEmbed(nn.Module):
         b, h, w, c = x.shape
         x = x.reshape(b, h * w, c)
         if self.use_norm:
-            x = nn.LayerNorm(name='norm', dtype=x.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-5, name='norm', dtype=x.dtype)(x)
         return x
