@@ -206,12 +206,12 @@ class MaxViTTransformerBlock(nn.Module):
         else:
             part, rev = grid_partition_nhwc, grid_reverse_nhwc
         p = part(x, gws).reshape(-1, gws[0] * gws[1], c)
-        a = nn.LayerNorm(name='norm_1', dtype=p.dtype)(p)
+        a = nn.LayerNorm(epsilon=1e-5, name='norm_1', dtype=p.dtype)(p)
         a = RelativeSelfAttention(
             c, self.num_heads, gws, self.attn_drop, self.drop,
             name='attention')(a, train=train)
         p = p + DropPath(self.drop_path, name='dp1')(a, train=train)
-        m = nn.LayerNorm(name='norm_2', dtype=p.dtype)(p)
+        m = nn.LayerNorm(epsilon=1e-5, name='norm_2', dtype=p.dtype)(p)
         m = _Mlp(int(self.mlp_ratio * c), c, self.drop,
                  name='mlp')(m, train=train)
         p = p + DropPath(self.drop_path, name='dp2')(m, train=train)
