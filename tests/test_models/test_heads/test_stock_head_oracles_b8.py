@@ -183,3 +183,109 @@ def test_maxvit_unet_oracle():
     x = F.interpolate(x, size=(8, 8), mode='bilinear', align_corners=False)
     expected = conv(x, dfv, 'conv_seg')
     _cmp(got, expected)
+
+
+# ---------------------------------------------------------------------------
+# DC-UNet (reference decode_heads/dc_unet_head.py: reflect-pad convs,
+# BN affine only without relu/sigmoid, dual-chain blocks, tanh output)
+# ---------------------------------------------------------------------------
+def _convbn(x, fv, p, k, act='relu'):
+    pad = k // 2
+    if pad:
+        x = F.pad(x, (pad, pad, pad, pad), mode='reflect')
+    w = t(fv[f'params/{p}/0/conv/kernel'].transpose(3, 2, 0, 1))
+    x = F.conv2d(x, w, None)
+    affine = act not in ('relu', 'sigmoid')
+    if affine:
+        weight = t(fv[f'params/{p}/1/scale'])
+        bias = t(fv[f'params/{p}/1/bias'])
+    else:
+        weight = bias = None
+    x = F.batch_norm(x, t(fv[f'batch_stats/{p}/1/mean']),
+                     t(fv[f'batch_stats/{p}/1/var']), weight, bias,
+                     training=False, eps=1e-5)
+    if act == 'relu':
+        x = F.relu(x)
+    elif act == 'sigmoid':
+        x = torch.sigmoid(x)
+    elif act == 'tanh':
+        x = torch.tanh(x)
+    return x
+
+
+def _plain_bn(x, fv, p):
+    return F.batch_norm(x, t(fv[f'batch_stats/{p}/mean']),
+                        t(fv[f'batch_stats/{p}/var']),
+                        t(fv[f'params/{p}/scale']),
+                        t(fv[f'params/{p}/bias']), training=False, eps=1e-5)
+
+
+def _dcblock(x, fv, p, u, alpha=1.67):
+    w = alpha * u
+    c3, c5, c7 = int(w * 0.167), int(w * 0.333), int(w * 0.5)
+    sc = _convbn(x, fv, f'{p}/conv2d_bn', 1, act=None)
+    a3 = _convbn(x, fv, f'{p}/conv3x3', 3)
+    a5 = _convbn(a3, fv, f'{p}/conv5x5', 3)
+    a7 = _convbn(a5, fv, f'{p}/conv7x7', 3)
+    out = _plain_bn(torch.cat([a3, a5, a7], 1), fv, f'{p}/bn_1')
+    b3 = _convbn(x, fv, f'{p}/conv3x3_2', 3)
+    b5 = _convbn(b3, fv, f'{p}/conv5x5_2', 3)
+    b7 = _convbn(b5, fv, f'{p}/conv7x7_2', 3)
+    out2 = _plain_bn(torch.cat([b3, b5, b7], 1), fv, f'{p}/bn_1_2')
+    return _plain_bn(F.relu(sc + out + out2), fv, f'{p}/bn_2')
+
+
+def _respath(x, fv, p, length):
+    names = ['first_block'] + [f'blocks_{i}' for i in range(length - 1)]
+    for nm in names:
+        sc = _convbn(x, fv, f'{p}/{nm}/conv2d_bn1', 1, act=None)
+        y = _convbn(x, fv, f'{p}/{nm}/conv2d_bn2', 3)
+        x = _plain_bn(F.relu(sc + y), fv, f'{p}/{nm}/bn')
+    return x
+
+
+def _deconv2x(x, fv, p):
+    w = t(np.ascontiguousarray(
+        fv[f'params/{p}/deconv/kernel'][::-1, ::-1].transpose(2, 3, 0, 1)))
+    b_ = t(fv[f'params/{p}/deconv/bias'])
+    return F.conv_transpose2d(x, w, b_, stride=2)
+
+
+def test_dc_unet_oracle():
+    rng = np.random.RandomState(72)
+    img = rng.randn(1, 32, 32, 3).astype(np.float32)
+    nf = 8
+    head = HEADS.get('DC_Unet')(
+        nf=nf, out_channels=2, num_classes=2, dropout_ratio=0.0,
+        norm_cfg=BN, loss_decode=LOSS)
+    rngs = {'params': jax.random.PRNGKey(0),
+            'dropout': jax.random.PRNGKey(1)}
+    v = head.init(rngs, jnp.asarray(img), train=False)
+    v = _b1._randomize(v, 72)
+    got = head.apply(v, jnp.asarray(img), train=False)
+    fv = _b1._flat(v)
+
+    x = t(img.transpose(0, 3, 1, 2))
+    m1 = _dcblock(x, fv, 'mres_block1', nf)
+    pool = F.max_pool2d(m1, 2)
+    m1 = _respath(m1, fv, 'res_path1', 4)
+    m2 = _dcblock(pool, fv, 'mres_block2', nf * 2)
+    pool = F.max_pool2d(m2, 2)
+    m2 = _respath(m2, fv, 'res_path2', 3)
+    m3 = _dcblock(pool, fv, 'mres_block3', nf * 4)
+    pool = F.max_pool2d(m3, 2)
+    m3 = _respath(m3, fv, 'res_path3', 2)
+    m4 = _dcblock(pool, fv, 'mres_block4', nf * 8)
+    pool = F.max_pool2d(m4, 2)
+    m4 = _respath(m4, fv, 'res_path4', 1)
+    m = _dcblock(pool, fv, 'mres_block5', nf * 16)
+    m = _dcblock(torch.cat([_deconv2x(m, fv, 'deconv1'), m4], 1), fv,
+                 'mres_block6', nf * 8)
+    m = _dcblock(torch.cat([_deconv2x(m, fv, 'deconv2'), m3], 1), fv,
+                 'mres_block7', nf * 4)
+    m = _dcblock(torch.cat([_deconv2x(m, fv, 'deconv3'), m2], 1), fv,
+                 'mres_block8', nf * 2)
+    m = _dcblock(torch.cat([_deconv2x(m, fv, 'deconv4'), m1], 1), fv,
+                 'mres_block9', nf)
+    expected = _convbn(m, fv, 'conv10', 1, act='tanh')
+    _cmp(got, expected)
