@@ -122,14 +122,64 @@ class DetailBranch(nn.Module):
         return x
 
 
+class GELayer(nn.Module):
+    """Gather-and-expansion layer (reference ``bisenetv2.py:180-302``):
+    3x3 conv (act) → grouped expansion conv(s) → 1x1 projection (no act),
+    residual (DW-separable shortcut when striding), final ReLU. The
+    stride-2 variant has TWO grouped convs (s2 no-act, then s1 act)."""
+    out_channels: int
+    exp_ratio: int = 6
+    stride: int = 1
+    norm_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        mid = in_ch * self.exp_ratio
+        identity = x
+        x = ConvModule(in_ch, 3, padding=1, norm_cfg=self.norm_cfg,
+                       act_cfg=dict(type='ReLU'),
+                       name='conv1')(x, train=train)
+        if self.stride == 1:
+            x = ConvModule(mid, 3, padding=1, groups=in_ch,
+                           norm_cfg=self.norm_cfg,
+                           act_cfg=dict(type='ReLU'),
+                           name='dwconv')(x, train=train)
+        else:
+            x = ConvModule(mid, 3, stride=self.stride, padding=1,
+                           groups=in_ch, norm_cfg=self.norm_cfg,
+                           act_cfg=None, name='dwconv_0')(x, train=train)
+            x = ConvModule(mid, 3, padding=1, groups=mid,
+                           norm_cfg=self.norm_cfg,
+                           act_cfg=dict(type='ReLU'),
+                           name='dwconv_1')(x, train=train)
+        x = ConvModule(self.out_channels, 1, norm_cfg=self.norm_cfg,
+                       act_cfg=None, name='conv2')(x, train=train)
+        if self.stride == 1:
+            x = x + identity
+        else:
+            sc = DepthwiseSeparableConvModule(
+                self.out_channels, 3, stride=self.stride, padding=1,
+                dw_norm_cfg=self.norm_cfg, dw_act_cfg=None,
+                pw_norm_cfg=self.norm_cfg, pw_act_cfg=None,
+                name='shortcut')(identity, train=train)
+            x = x + sc
+        return nn.relu(x)
+
+
 class SemanticBranch(nn.Module):
+    """Reference ``bisenetv2.py:371-430``: stem + GE stages (the LAST
+    stage has FOUR GE layers) + a SEPARATE context-embedding output —
+    returns [stem, s2, ..., sN, ce] (the pre-CE deepest feature stays an
+    aux-head input; only the BGA consumes the CE output)."""
     semantic_channels: Sequence[int] = (16, 32, 64, 128)
+    exp_ratio: int = 6
     norm_cfg: Optional[dict] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = []
-        # stem
+        # stem (reference StemBlock)
         c = self.semantic_channels[0]
         x = ConvModule(c, 3, 2, padding=1, norm_cfg=self.norm_cfg,
                        act_cfg=dict(type='ReLU'),
@@ -145,45 +195,27 @@ class SemanticBranch(nn.Module):
                        act_cfg=dict(type='ReLU'), name='stem_fuse')(
             jnp.concatenate([left, right], axis=-1), train=train)
         outs.append(x)
-        # gather-expand stages
-        for i, ch in enumerate(self.semantic_channels[1:], start=1):
-            for j in range(2):
-                stride = 2 if j == 0 else 1
-                in_ch = x.shape[-1]
-                e = ConvModule(in_ch * 6, 3, padding=1,
-                               norm_cfg=self.norm_cfg,
-                               act_cfg=dict(type='ReLU'),
-                               name=f'ge{i}_{j}_conv')(x, train=train)
-                e = ConvModule(in_ch * 6, 3, stride=stride, padding=1,
-                               groups=in_ch * 6, norm_cfg=self.norm_cfg,
-                               act_cfg=None,
-                               name=f'ge{i}_{j}_dw')(e, train=train)
-                e = ConvModule(ch, 1, norm_cfg=self.norm_cfg, act_cfg=None,
-                               name=f'ge{i}_{j}_pw')(e, train=train)
-                if stride == 2:
-                    sc = ConvModule(in_ch, 3, stride=2, padding=1,
-                                    groups=in_ch, norm_cfg=self.norm_cfg,
-                                    act_cfg=None,
-                                    name=f'ge{i}_{j}_scdw')(x, train=train)
-                    sc = ConvModule(ch, 1, norm_cfg=self.norm_cfg,
-                                    act_cfg=None,
-                                    name=f'ge{i}_{j}_scpw')(sc, train=train)
-                else:
-                    sc = x
-                x = nn.relu(e + sc)
+        n = len(self.semantic_channels)
+        for i in range(1, n):
+            ch = self.semantic_channels[i]
+            depth = 4 if i == n - 1 else 2
+            for j in range(depth):
+                x = GELayer(ch, self.exp_ratio, stride=2 if j == 0 else 1,
+                            norm_cfg=self.norm_cfg,
+                            name=f'ge{i}_{j}')(x, train=train)
             outs.append(x)
-        # context embedding
+        # context embedding (reference CEBlock) — a SEPARATE output
         gap = jnp.mean(x, axis=(1, 2), keepdims=True)
         from ..bricks import BatchNorm
         gap = BatchNorm(name='ce_bn')(gap, train=train)
         gap = ConvModule(self.semantic_channels[-1], 1,
                          norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
                          name='ce_conv')(gap, train=train)
-        x = x + gap
-        x = ConvModule(self.semantic_channels[-1], 3, padding=1,
-                       norm_cfg=self.norm_cfg, act_cfg=None,
-                       name='ce_out')(x, train=train)
-        outs[-1] = x
+        ce = x + gap
+        ce = ConvModule(self.semantic_channels[-1], 3, padding=1,
+                        norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
+                        name='ce_out')(ce, train=train)
+        outs.append(ce)
         return outs
 
 
@@ -206,9 +238,10 @@ class BiSeNetV2(nn.Module):
         norm_cfg = self.norm_cfg or dict(type='BN')
         detail = DetailBranch(tuple(self.detail_channels), norm_cfg,
                               name='detail')(x, train=train)
-        sem_outs = SemanticBranch(tuple(self.semantic_channels), norm_cfg,
-                                  name='semantic')(x, train=train)
-        sem = sem_outs[-1]
+        sem_outs = SemanticBranch(
+            tuple(self.semantic_channels), self.semantic_expansion_ratio,
+            norm_cfg, name='semantic')(x, train=train)
+        sem = sem_outs[-1]  # the CE output feeds ONLY the BGA
         # bilateral guided aggregation
         c = self.bga_channels
         d_a = ConvModule(c, 3, padding=1, groups=detail.shape[-1],
@@ -234,8 +267,12 @@ class BiSeNetV2(nn.Module):
         right = d_b * s_a
         right = resize(right, size=detail.shape[1:3], mode='bilinear',
                        align_corners=self.align_corners, warning=False)
+        # reference bisenetv2.py:511-521: the BGA output ConvModule keeps
+        # the default ReLU (an act_cfg=None here was caught by the oracle)
         fuse = ConvModule(c, 3, padding=1, norm_cfg=norm_cfg,
-                          act_cfg=None, name='bga_out')(left + right,
-                                                        train=train)
-        outs = [fuse] + sem_outs[:-1] + [sem]
+                          act_cfg=self.act_cfg or dict(type='ReLU'),
+                          name='bga_out')(left + right, train=train)
+        # reference bisenetv2.py:615-622: heads see [bga, stem, s2, s3,
+        # s4] — the pre-CE deepest stage, NOT the CE output
+        outs = [fuse] + sem_outs[:-1]
         return [outs[i] for i in self.out_indices]

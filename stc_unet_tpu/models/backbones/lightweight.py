@@ -9,15 +9,18 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from stc_unet_tpu.ops import resize
-from ..bricks import BatchNorm, Conv2d, ConvModule, avg_pool2d
+from ..bricks import (BatchNorm, Conv2d, ConvModule, Linear,
+                      PReLU, avg_pool2d)
 from ..builder import BACKBONES, NECKS
 
 
 class ContextGuidedBlock(nn.Module):
-    """CG block: loc + sur (dilated) dw convs, joint BN+PReLU, glo gate."""
+    """CG block (reference ``cgnet.py:54``): local + surrounding (dilated)
+    depthwise convs, joint BN + learned PReLU, global-context gate."""
     out_channels: int
     dilation: int = 2
     reduction: int = 16
+    skip_connect: bool = True
     downsample: bool = False
     norm_cfg: Optional[dict] = None
 
@@ -29,8 +32,7 @@ class ContextGuidedBlock(nn.Module):
         k = 3 if self.downsample else 1
         g = ConvModule(channels, k, stride=stride,
                        padding=(k - 1) // 2, norm_cfg=self.norm_cfg,
-                       act_cfg=dict(type='PReLU') if False else
-                       dict(type='LeakyReLU'),
+                       act_cfg=dict(type='PReLU'),
                        name='conv1x1')(x, train=train)
         loc = Conv2d(channels, 3, padding=1, groups=channels,
                      use_bias=False, name='f_loc')(g)
@@ -39,25 +41,47 @@ class ContextGuidedBlock(nn.Module):
                      use_bias=False, name='f_sur')(g)
         joi = jnp.concatenate([loc, sur], axis=-1)
         joi = BatchNorm(name='bn')(joi, train=train)
-        joi = nn.leaky_relu(joi, 0.01)
+        joi = PReLU(name='activate')(joi)
         if self.downsample:
             joi = Conv2d(self.out_channels, 1, use_bias=False,
                          name='bottleneck')(joi)
-        # global context gate
+        # global context gate (reference GlobalContextExtractor)
         s = jnp.mean(joi, axis=(1, 2))
-        from ..bricks import Linear
-        s = nn.relu(Linear(joi.shape[-1] // self.reduction,
+        s = nn.relu(Linear(self.out_channels // self.reduction,
                            name='fc1')(s))
-        s = nn.sigmoid(Linear(joi.shape[-1], name='fc2')(s))
+        s = nn.sigmoid(Linear(self.out_channels, name='fc2')(s))
         out = joi * s[:, None, None, :]
-        if not self.downsample:
+        if self.skip_connect and not self.downsample:
             out = x + out
         return out
 
 
+def _input_injection(x, n: int):
+    """reference ``cgnet.py:171`` InputInjection: n stacked
+    AvgPool2d(3, stride=2, padding=1) over the RAW input (count includes
+    the zero padding, torch default) — NOT a bilinear resize."""
+    for _ in range(n):
+        x = avg_pool2d(x, 3, stride=2, padding=1)
+    return x
+
+
+class _NormPReLU(nn.Module):
+    """BN + PReLU pair (reference ``norm_prelu_{0,1,2}`` Sequentials)."""
+    norm_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = BatchNorm(name='norm')(x, train=train)
+        return PReLU(name='activate')(x)
+
+
 @BACKBONES.register_module()
 class CGNet(nn.Module):
-    """Context-guided network."""
+    """Context-guided network (reference ``cgnet.py:186``): 3-conv stem,
+    avg-pool input injections at /2 and /4, two CG stages whose outputs
+    concat the stage\'s first (downsampling) block — stage 1 additionally
+    concats the /4 input injection, and stage 2 concats in the REVERSED
+    (down2, x) order."""
     in_channels: int = 3
     num_channels: Sequence[int] = (32, 64, 128)
     num_blocks: Sequence[int] = (3, 21)
@@ -84,21 +108,21 @@ class CGNet(nn.Module):
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')
         inp = x
+        inp_2x = _input_injection(inp, 1)
+        inp_4x = _input_injection(inp, 2)
         cur = x
         for i in range(3):
             cur = ConvModule(self.num_channels[0], 3,
                              stride=2 if i == 0 else 1, padding=1,
                              norm_cfg=norm_cfg,
-                             act_cfg=dict(type='LeakyReLU'),
+                             act_cfg=dict(type='PReLU'),
                              name=f'stem_{i}')(cur, train=train)
-        down1 = avg_pool2d(inp, 2, 2) if True else None
-        cur = jnp.concatenate(
-            [cur, resize(inp, size=cur.shape[1:3], mode='bilinear',
-                         align_corners=False, warning=False)], axis=-1)
-        cur = BatchNorm(name='norm_stem')(cur, train=train)
-        cur = nn.leaky_relu(cur, 0.01)
+        cur = _NormPReLU(norm_cfg, name='norm_prelu_0')(
+            jnp.concatenate([cur, inp_2x], axis=-1), train=train)
         outs = [cur]
+        # stage 1: concat (x, down1, inp_4x); stage 2: concat (down2, x)
         for si in range(2):
+            first = None
             for j in range(self.num_blocks[si]):
                 cur = ContextGuidedBlock(
                     self.num_channels[si + 1],
@@ -108,9 +132,12 @@ class CGNet(nn.Module):
                     name=f'level{si + 1}_{j}')(cur, train=train)
                 if j == 0:
                     first = cur
-            cur = jnp.concatenate([cur, first], axis=-1)
-            cur = BatchNorm(name=f'norm_level{si + 1}')(cur, train=train)
-            cur = nn.leaky_relu(cur, 0.01)
+            if si == 0:
+                cat = jnp.concatenate([cur, first, inp_4x], axis=-1)
+            else:
+                cat = jnp.concatenate([first, cur], axis=-1)
+            cur = _NormPReLU(norm_cfg, name=f'norm_prelu_{si + 1}')(
+                cat, train=train)
             outs.append(cur)
         return outs
 

@@ -261,11 +261,24 @@ class ConvTranspose2d(nn.Module):
         return y
 
 
+class PReLU(nn.Module):
+    """torch ``nn.PReLU(num_parameters=C)``: per-channel learned negative
+    slope, init 0.25 (param name ``weight`` like torch)."""
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param('weight', nn.initializers.constant(0.25),
+                           (x.shape[-1],), jnp.float32)
+        return jnp.maximum(x, 0) + alpha.astype(x.dtype) * jnp.minimum(x, 0)
+
+
 class ConvModule(nn.Module):
     """Conv + Norm + Act brick (mmcv ConvModule semantics).
 
     - ``bias='auto'``: bias iff no norm (mmcv rule).
     - ``order``: any permutation of ('conv', 'norm', 'act').
+    - act_cfg ``type='PReLU'`` instantiates the parametric PReLU module
+      (named ``activate``, ≙ mmcv's ``self.activate``).
     """
     out_channels: int
     kernel_size: Union[int, Tuple[int, int]] = 3
@@ -288,7 +301,11 @@ class ConvModule(nn.Module):
                       use_bias=use_bias, name='conv_m')
         norm_factory, _ = build_norm_layer(self.norm_cfg)
         norm = norm_factory() if norm_factory is not None else None
-        act = build_activation_layer(self.act_cfg) if self.act_cfg else None
+        if self.act_cfg and dict(self.act_cfg).get('type') == 'PReLU':
+            act = PReLU(name='activate')
+        else:
+            act = build_activation_layer(self.act_cfg) if self.act_cfg \
+                else None
         for op in self.order:
             if op == 'conv':
                 x = conv(x)
