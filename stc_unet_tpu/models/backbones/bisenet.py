@@ -96,11 +96,12 @@ class BiSeNetV1(nn.Module):
         cat = jnp.concatenate([sp, c16], axis=-1)
         fuse = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
                           act_cfg=act_cfg, name='ffm_conv')(cat, train=train)
+        # reference bisenetv1.py:241-261: ONE 1x1 ConvModule (bias=False,
+        # norm + ReLU) then Sigmoid — not two norm-free convs
         att = jnp.mean(fuse, axis=(1, 2), keepdims=True)
-        att = ConvModule(self.out_channels, 1, act_cfg=dict(type='ReLU'),
-                         name='ffm_att1')(att, train=train)
-        att = ConvModule(self.out_channels, 1, act_cfg=dict(type='Sigmoid'),
-                         name='ffm_att2')(att, train=train)
+        att = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
+                         act_cfg=act_cfg, name='ffm_att')(att, train=train)
+        att = nn.sigmoid(att)
         fuse = fuse + fuse * att
         outs = [fuse, c16, c32]
         return [outs[i] for i in self.out_indices]

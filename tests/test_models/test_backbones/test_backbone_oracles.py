@@ -218,3 +218,75 @@ def test_bisenetv2_oracle():
         got = np.asarray(outs[i], np.float32).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, expected[i].numpy(), rtol=1e-4,
                                    atol=1e-4, err_msg=f'bisenetv2 out {i}')
+
+
+# ---------------------------------------------------------------------------
+# BiSeNetV1 (reference bisenetv1.py: spatial path, ARM context path with
+# global-pool prior, nearest upsampling, FFM with conv+BN+ReLU+sigmoid gate)
+# ---------------------------------------------------------------------------
+def test_bisenetv1_oracle():
+    from stc_unet_tpu.models.builder import BACKBONES
+    rng = np.random.RandomState(82)
+    img = rng.randn(1, 64, 64, 3).astype(np.float32)
+    ctx = (8, 16, 32)
+    mod = BACKBONES.get('BiSeNetV1')(
+        backbone_cfg=dict(type='ResNet', depth=18, base_channels=4,
+                          num_stages=4, out_indices=(0, 1, 2, 3)),
+        in_channels=3, spatial_channels=(4, 4, 4, 8),
+        context_channels=ctx, out_channels=16)
+    rngs = {'params': jax.random.PRNGKey(0),
+            'dropout': jax.random.PRNGKey(1)}
+    v = mod.init(rngs, jnp.asarray(img), train=False)
+    v = _b1._randomize(v, 82)
+    outs = mod.apply(v, jnp.asarray(img), train=False)
+    fv = _b1._flat(v)
+
+    # spatial path in torch is heavy to replicate with the resnet inside;
+    # instead, feed the torch oracle the FLAX backbone's own features —
+    # this isolates the BiSeNetV1 glue (ARMs, gap prior, nearest resizes,
+    # FFM) which is what this oracle certifies. (ResNet itself is covered
+    # by its own branch tests + converted-checkpoint goldens.)
+    from stc_unet_tpu.models.builder import BACKBONES as REG
+    import flax
+    from flax import traverse_util
+    inner = REG.build(dict(type='ResNet', depth=18, base_channels=4,
+                           num_stages=4, out_indices=(0, 1, 2, 3)))
+    flat = traverse_util.flatten_dict(flax.core.unfreeze(v))
+    sub = {('params',) + k[2:]: lv for k, lv in flat.items()
+           if k[0] == 'params' and k[1] == 'ResNet_0'}
+    sub.update({('batch_stats',) + k[2:]: lv for k, lv in flat.items()
+                if k[0] == 'batch_stats' and k[1] == 'ResNet_0'})
+    feats = inner.apply(traverse_util.unflatten_dict(sub),
+                        jnp.asarray(img), train=False)
+    x8, x16, x32 = [t(np.asarray(f, np.float32).transpose(0, 3, 1, 2))
+                    for f in feats[1:]]
+
+    def _arm(x, p):
+        x = _cm(x, fv, f'{p}/conv', 3)
+        att = x.mean((2, 3), keepdim=True)
+        att = _cm(att, fv, f'{p}/att_conv', 1, act='sigmoid')
+        return x * att
+
+    gap = x32.mean((2, 3), keepdim=True)
+    gap = _cm(gap, fv, 'gap_conv', 1)
+    c32 = _arm(x32, 'arm32') + gap
+    c32 = F.interpolate(c32, size=x16.shape[2:], mode='nearest')
+    c32 = _cm(c32, fv, 'refine32', 3)
+    c16 = _arm(x16, 'arm16') + c32
+    c16 = F.interpolate(c16, size=x8.shape[2:], mode='nearest')
+    c16 = _cm(c16, fv, 'refine16', 3)
+
+    sp = t(img.transpose(0, 3, 1, 2))
+    for i in range(4):
+        k, s = ((7, 2) if i == 0 else (3, 2)) if i < 3 else (1, 1)
+        sp = _cm(sp, fv, f'spatial_{i}', k, stride=s)
+    cat = torch.cat([sp, c16], 1)
+    fuse = _cm(cat, fv, 'ffm_conv', 1)
+    att = fuse.mean((2, 3), keepdim=True)
+    att = torch.sigmoid(_cm(att, fv, 'ffm_att', 1))
+    fuse = fuse + fuse * att
+
+    for i, exp in enumerate((fuse, c16, c32)):
+        got = np.asarray(outs[i], np.float32).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, exp.numpy(), rtol=1e-4, atol=1e-4,
+                                   err_msg=f'bisenetv1 out {i}')
