@@ -83,9 +83,13 @@ class FastSCNN(nn.Module):
         # feature fusion
         low_up = resize(lower, size=higher.shape[1:3], mode='bilinear',
                         align_corners=self.align_corners, warning=False)
-        low_up = DepthwiseSeparableConvModule(
-            self.fusion_out_channels, 3, padding=1, norm_cfg=norm_cfg,
-            act_cfg=None, name='ffm_dwconv')(low_up, train=train)
+        # reference fast_scnn.py:230-238: the FFM dwconv is ONE grouped 3x3
+        # ConvModule WITH activation (dwconv_act_cfg = act_cfg), not a
+        # depthwise-separable pair
+        low_up = ConvModule(self.fusion_out_channels, 3, padding=1,
+                            groups=self.fusion_out_channels,
+                            norm_cfg=norm_cfg, act_cfg=act_cfg,
+                            name='ffm_dwconv')(low_up, train=train)
         low_up = ConvModule(self.fusion_out_channels, 1,
                             norm_cfg=norm_cfg, act_cfg=None,
                             name='ffm_low_conv')(low_up, train=train)
