@@ -315,15 +315,19 @@ class CascadeFeatureFusion(nn.Module):
 
     @nn.compact
     def __call__(self, low, high, train: bool = False):
+        # reference ic_neck.py:47-77: both ConvModules carry the act_cfg
+        # (default ReLU), and the auxiliary output is the conv_low RESULT
+        # (post-act), not the resized input.
+        act = self.act_cfg or dict(type='ReLU')
         low = resize(low, size=high.shape[1:3], mode='bilinear',
                      align_corners=self.align_corners, warning=False)
         low_f = ConvModule(self.out_channels, 3, padding=2, dilation=2,
-                           norm_cfg=self.norm_cfg, act_cfg=None,
+                           norm_cfg=self.norm_cfg, act_cfg=act,
                            name='conv_low')(low, train=train)
         high_f = ConvModule(self.out_channels, 1, norm_cfg=self.norm_cfg,
-                            act_cfg=None, name='conv_high')(high,
-                                                            train=train)
-        return nn.relu(low_f + high_f), low
+                            act_cfg=act, name='conv_high')(high,
+                                                           train=train)
+        return nn.relu(low_f + high_f), low_f
 
 
 @NECKS.register_module()

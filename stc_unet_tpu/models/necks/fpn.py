@@ -60,8 +60,22 @@ class FPN(nn.Module):
                 for _ in range(self.num_outs - len(outs)):
                     outs.append(max_pool2d(outs[-1], 1, stride=2))
             else:
-                src = inputs[end_level - 1] \
-                    if self.add_extra_convs == 'on_input' else outs[-1]
+                # reference fpn.py:106-115,199-204: bool True resolves via
+                # extra_convs_on_inputs; str picks the first extra conv's
+                # source explicitly
+                mode = self.add_extra_convs
+                if mode is True:
+                    mode = 'on_input' if self.extra_convs_on_inputs \
+                        else 'on_output'
+                if mode == 'on_input':
+                    src = inputs[end_level - 1]
+                elif mode == 'on_lateral':
+                    src = laterals[-1]
+                elif mode == 'on_output':
+                    src = outs[-1]
+                else:
+                    raise NotImplementedError(
+                        f'invalid add_extra_convs {self.add_extra_convs!r}')
                 for i in range(self.num_outs - len(outs)):
                     if i > 0 and self.relu_before_extra_convs:
                         src = nn.relu(src)

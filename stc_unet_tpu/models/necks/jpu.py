@@ -43,9 +43,11 @@ class JPU(nn.Module):
         assert len(inputs) == len(self.in_channels)
         end = len(inputs) if self.end_level == -1 else self.end_level
         used = inputs[self.start_level:end]
+        # reference jpu.py:51-52 defaults: norm BN, act ReLU
+        norm_cfg = self.norm_cfg or dict(type='BN')
         feats = [
             ConvModule(self.mid_channels, 3, padding=1,
-                       norm_cfg=self.norm_cfg,
+                       norm_cfg=norm_cfg,
                        act_cfg=self.act_cfg or dict(type='ReLU'),
                        name=f'conv_{i}')(x, train=train)
             for i, x in enumerate(used)
@@ -60,10 +62,12 @@ class JPU(nn.Module):
         outs = [
             DepthwiseSeparableConvModule(
                 self.mid_channels, 3, padding=d, dilation=d,
-                norm_cfg=self.norm_cfg, dw_act_cfg=None,
+                norm_cfg=norm_cfg, dw_act_cfg=None,
                 act_cfg=self.act_cfg or dict(type='ReLU'),
                 name=f'dilation_{i}')(feat, train=train)
             for i, d in enumerate(self.dilations)
         ]
         fused = jnp.concatenate(outs, axis=-1)
-        return list(inputs[:-1]) + [fused]
+        # reference jpu.py:123-131 — pass through inputs[start:end-1], then
+        # the fused map (NOT always inputs[:-1])
+        return list(inputs[self.start_level:end - 1]) + [fused]

@@ -112,21 +112,25 @@ class MLANeck(nn.Module):
         for i, x in enumerate(inputs):
             x = nn.LayerNorm(name=f'norm_{i}', dtype=x.dtype)(
                 x.reshape(x.shape[0], -1, x.shape[-1])).reshape(x.shape)
+            # reference MLAModule passes act_cfg through unchanged
+            # (default None — no activation)
             feats.append(ConvModule(
                 self.out_channels, 1, norm_cfg=self.norm_cfg,
-                act_cfg=self.act_cfg or dict(type='ReLU'),
+                act_cfg=self.act_cfg,
                 name=f'mla_convs1_{i}')(x, train=train))
-        # top-down aggregation
+        # top-down cumulative aggregation, TOP level first — the reference
+        # (mla_neck.py:36-59) reverses to [p5..p2], accumulates
+        # m5=p5, m4=p5+p4, ..., and returns (conv0(m5), ..., conv3(m2))
+        # in that top-first order.
         agg = []
         prev = None
-        for i in range(len(feats) - 1, -1, -1):
-            cur = feats[i] if prev is None else feats[i] + prev
-            prev = cur
-            agg.insert(0, cur)
+        for f in feats[::-1]:
+            prev = f if prev is None else prev + f
+            agg.append(prev)
         outs = [
             ConvModule(self.out_channels, 3, padding=1,
                        norm_cfg=self.norm_cfg,
-                       act_cfg=self.act_cfg or dict(type='ReLU'),
+                       act_cfg=self.act_cfg,
                        name=f'mla_convs2_{i}')(x, train=train)
             for i, x in enumerate(agg)
         ]

@@ -86,7 +86,10 @@ def test_segmenter_mask_head_oracle():
     masks = patches @ cls_feat.transpose(1, 2)
     masks = _ln(masks, fv, 'mask_norm')
     expected = masks.permute(0, 2, 1).reshape(b, 5, h, w)
-    _cmp(got, expected)
+    # 5e-4: the L2-normalize + mask LayerNorm chain amplifies f32
+    # fusion-order differences across XLA:CPU hosts (observed 3e-4 drift
+    # when the AOT cache was built on a different machine).
+    _cmp(got, expected, rtol=5e-4, atol=5e-4)
 
 
 def test_setr_up_head_oracle():
