@@ -49,13 +49,24 @@ class HRModule(nn.Module):
             for j in range(self.num_branches):
                 z = outs[j]
                 if j > i:
-                    # upsample j → i: 1x1 conv + BN + resize
+                    # upsample j → i: 1x1 conv + BN, then BILINEAR
+                    # align_corners=False upsample by 2**(j-i) followed by an
+                    # exact-size resize (reference hrnet.py:150-153 puts an
+                    # Upsample(scale_factor) in the fuse layer AND resizes to
+                    # x[i]'s size in forward at hrnet.py:206-210 — both
+                    # interpolations happen)
                     z = Conv2d(self.num_channels[i] * self.block.expansion,
                                1, use_bias=False,
                                name=f'fuse_{i}_{j}_conv')(z)
                     z = BatchNorm(name=f'fuse_{i}_{j}_bn')(z, train=train)
-                    z = resize(z, size=outs[i].shape[1:3], mode='nearest',
-                               align_corners=None, warning=False)
+                    s = 2 ** (j - i)
+                    up = (z.shape[1] * s, z.shape[2] * s)
+                    z = resize(z, size=up, mode='bilinear',
+                               align_corners=False, warning=False)
+                    if up != tuple(outs[i].shape[1:3]):
+                        z = resize(z, size=outs[i].shape[1:3],
+                                   mode='bilinear', align_corners=False,
+                                   warning=False)
                 elif j < i:
                     # downsample j → i via stride-2 3x3 convs
                     for k in range(i - j):
@@ -149,11 +160,22 @@ class HRNet(nn.Module):
                     else:
                         z = xs[i]
                 else:
-                    z = ConvModule(num_channels[i], 3, stride=2, padding=1,
-                                   norm_cfg=dict(type='BN'),
-                                   act_cfg=dict(type='ReLU'),
-                                   name=f'transition{si}_{i}')(
-                        xs[-1], train=train)
+                    # reference hrnet.py:459-477: a NEW branch i gets
+                    # (i+1-num_branches_pre) stride-2 conv+BN+ReLU steps from
+                    # the LAST previous branch; intermediates keep the source
+                    # channel count, only the final step maps to the target
+                    z = xs[-1]
+                    n_pre = len(xs)
+                    for k in range(i + 1 - n_pre):
+                        out_ch = num_channels[i] if k == i - n_pre \
+                            else z.shape[-1]
+                        z = ConvModule(out_ch, 3, stride=2, padding=1,
+                                       norm_cfg=dict(type='BN'),
+                                       act_cfg=dict(type='ReLU'),
+                                       name=f'transition{si}_{i}_{k}'
+                                       if i - n_pre else
+                                       f'transition{si}_{i}')(
+                            z, train=train)
                 new_xs.append(z)
             xs = new_xs
             # modules

@@ -38,11 +38,15 @@ class GroupBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # static python math, not jnp: under jit this shape computation
-        # must stay concrete (math.floor ≙ torch's int(planes*(bw/bc)))
-        width = int(math.floor(
-            self.planes * (self.base_width / self.base_channels))
-        ) * self.groups
+        # reference resnext.py:28-32: width = planes when groups == 1; the
+        # base_width formula only applies to grouped variants. Static python
+        # math so the shape stays concrete under jit.
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = int(math.floor(
+                self.planes * (self.base_width / self.base_channels))
+            ) * self.groups
         if self.style == 'pytorch':
             conv1_stride, conv2_stride = 1, self.stride
         else:
@@ -133,8 +137,18 @@ class SplitAttentionConv(nn.Module):
         gap = Conv2d(inter, 1, groups=self.groups, name='fc1')(gap)
         gap = nn.relu(BatchNorm(name='bn1')(gap, train=train))
         atten = Conv2d(c * r, 1, groups=self.groups, name='fc2')(gap)
-        atten = atten.reshape(b, 1, 1, r, c)
-        atten = jax.nn.softmax(atten, axis=3)
+        if r > 1:
+            # reference RSoftmax (resnest.py:29-34): the fc2 output is
+            # GROUP-major (g, r, c/g); view → transpose → softmax over
+            # radix → flatten back to (r, g, c/g), matching the conv
+            # output's radix-major chunking
+            g = self.groups
+            atten = atten.reshape(b, 1, 1, g, r, c // g)
+            atten = jax.nn.softmax(atten, axis=4)
+            atten = atten.transpose(0, 1, 2, 4, 3, 5).reshape(b, 1, 1, r, c)
+        else:
+            # radix == 1: sigmoid gate (reference resnest.py:35)
+            atten = nn.sigmoid(atten).reshape(b, 1, 1, r, c)
         return (splits * atten).sum(axis=3)
 
 
@@ -163,11 +177,16 @@ class SplitBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # static python math, not jnp: under jit this shape computation
-        # must stay concrete (math.floor ≙ torch's int(planes*(bw/bc)))
-        width = int(math.floor(
-            self.planes * (self.base_width / self.base_channels))
-        ) * self.groups
+        # reference resnest.py:180-184: width = planes when groups == 1
+        # (the default for every ResNeSt config); the base_width formula
+        # only applies to grouped variants. Static python math so the shape
+        # stays concrete under jit.
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = int(math.floor(
+                self.planes * (self.base_width / self.base_channels))
+            ) * self.groups
         identity = x
         out = Conv2d(width, 1, 1, use_bias=False, name='conv1')(x)
         out = nn.relu(BatchNorm(name='bn1')(out, train=train))
