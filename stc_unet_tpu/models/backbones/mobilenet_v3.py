@@ -69,9 +69,16 @@ class MobileNetV3(nn.Module):
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')
         layers = _ARCH[self.arch]
+        # segmentation surgery (reference mobilenet_v3.py:199-241): from
+        # layer `surgery_start` on, strided depthwise convs drop to stride 1
+        # and dilation grows (2, then 4 from `dil4_start`), keeping the
+        # backbone at output stride 16
+        surgery_start, dil4_start, stride1_at = \
+            (4, 9, (4, 9)) if self.arch == 'small' else (7, 13, (7, 13))
         in_ch = 16
-        x = ConvModule(in_ch, 3, stride=2, padding=1, norm_cfg=norm_cfg,
-                       act_cfg=dict(type='HSwish'),
+        # stem uses Conv2dAdaptivePadding (TF 'SAME': bottom/right pad)
+        x = ConvModule(in_ch, 3, stride=2, padding='SAME',
+                       norm_cfg=norm_cfg, act_cfg=dict(type='HSwish'),
                        name='layer0')(x, train=train)
         outs = []
         if 0 in self.out_indices:
@@ -81,17 +88,27 @@ class MobileNetV3(nn.Module):
                     self.arch == 'small' and i >= 8):
                 mid = mid // self.reduction_factor
                 out_ch = out_ch // self.reduction_factor
+            p = i + 1  # position in the reference's layers list
+            dilation = 1
+            dw_stride = None
+            if p >= surgery_start:
+                dilation = 2 if p < dil4_start else 4
+                if p in stride1_at:
+                    dw_stride = 1
             x = InvertedResidualV3(
                 out_channels=out_ch, mid_channels=mid, kernel_size=k,
                 stride=stride, se_ratio=0.25 if with_se else None,
                 with_expand_conv=(mid != x.shape[-1]),
                 act_cfg=dict(type=act), norm_cfg=norm_cfg,
+                dilation=dilation, dw_stride=dw_stride,
                 name=f'layer{i + 1}')(x, train=train)
             if (i + 1) in self.out_indices:
                 outs.append(x)
-        # final pointwise conv layer
+        # final pointwise conv layer — reference mobilenet_v3.py:185-194
+        # keeps its width at 576/960 regardless of reduction_factor (the
+        # surgery's dilation=4 is inert on a 1x1 conv)
         final_ch = 576 if self.arch == 'small' else 960
-        x = ConvModule(final_ch // self.reduction_factor, 1,
+        x = ConvModule(final_ch, 1,
                        norm_cfg=norm_cfg, act_cfg=dict(type='HSwish'),
                        name=f'layer{len(layers) + 1}')(x, train=train)
         if (len(layers) + 1) in self.out_indices:

@@ -16,7 +16,9 @@ from ..builder import BACKBONES
 
 
 class STDCModule(nn.Module):
-    """Dense-concat module: 1x1 then chained 3x3 convs with halving widths."""
+    """Dense-concat module (reference ``stdc.py:14-128``): a 1x1 conv then
+    chained 3x3 convs with halving widths, fused by 'add' (residual skip)
+    or 'cat' (avg-pool skip replaces the first feature when strided)."""
     out_channels: int
     stride: int = 1
     num_convs: int = 4
@@ -24,34 +26,63 @@ class STDCModule(nn.Module):
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
 
+    def __post_init__(self):
+        assert self.num_convs > 1
+        assert self.fusion_type in ('add', 'cat')
+        super().__post_init__()
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         oc = self.out_channels
-        feats = []
-        h = ConvModule(oc // 2, 1, norm_cfg=self.norm_cfg,
-                       act_cfg=self.act_cfg, name='conv0')(x, train=train)
-        feats.append(h)
-        for i in range(1, self.num_convs):
-            last = i == self.num_convs - 1
-            ch = oc // (2 ** (i + 1)) if not last else oc // (2 ** i)
-            stride = self.stride if i == 1 else 1
-            if i == 1 and self.stride == 2:
-                # downsample path: dw conv stride 2
-                h = ConvModule(h.shape[-1], 3, stride=2, padding=1,
-                               groups=h.shape[-1], norm_cfg=self.norm_cfg,
-                               act_cfg=None, name='downsample')(h,
+        downsample = self.stride == 2
+        # conv_0 omits act_cfg in the reference (stdc.py:46-47) → mmcv's
+        # default ReLU, NOT the module's act_cfg
+        x0 = ConvModule(oc // 2, 1, norm_cfg=self.norm_cfg,
+                        act_cfg=dict(type='ReLU'),
+                        name='conv0')(x, train=train)
+
+        def chain(h, start):
+            feats = []
+            for i in range(start, self.num_convs):
+                last = i == self.num_convs - 1
+                ch = oc // (2 ** i) if last else oc // (2 ** (i + 1))
+                h = ConvModule(ch, 3, padding=1, norm_cfg=self.norm_cfg,
+                               act_cfg=self.act_cfg,
+                               name=f'conv{i}')(h, train=train)
+                feats.append(h)
+            return feats
+
+        if self.fusion_type == 'add':
+            # layers[0] = conv0 (+ dw downsample when strided); skip maps
+            # the INPUT via dw-s2 + 1x1 (both act-free); out = cat + skip
+            h0 = x0
+            if downsample:
+                h0 = ConvModule(oc // 2, 3, stride=2, padding=1,
+                                groups=oc // 2, norm_cfg=self.norm_cfg,
+                                act_cfg=None, name='downsample')(x0,
+                                                                 train=train)
+                skip = ConvModule(x.shape[-1], 3, stride=2, padding=1,
+                                  groups=x.shape[-1], norm_cfg=self.norm_cfg,
+                                  act_cfg=None, name='skip0')(x, train=train)
+                skip = ConvModule(oc, 1, norm_cfg=self.norm_cfg,
+                                  act_cfg=None, name='skip1')(skip,
+                                                              train=train)
+            else:
+                skip = x
+            feats = [h0] + chain(h0, 1)
+            return jnp.concatenate(feats, axis=-1) + skip
+        # 'cat': conv1 runs on downsample(x0); the first concatenated
+        # feature is the AVG-POOLED x0 (reference stdc.py:114-128)
+        if downsample:
+            h1_in = ConvModule(oc // 2, 3, stride=2, padding=1,
+                               groups=oc // 2, norm_cfg=self.norm_cfg,
+                               act_cfg=None, name='downsample')(x0,
                                                                 train=train)
-                feats[0] = h
-                stride = 1
-            h = ConvModule(ch, 3, stride=stride, padding=1,
-                           norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
-                           name=f'conv{i}')(h, train=train)
-            feats.append(h)
-        if self.stride == 2:
-            # match spatial dims of the first feat
-            feats = [feats[0]] + [
-                f if f.shape[1] == feats[0].shape[1] else f
-                for f in feats[1:]]
+            first = avg_pool2d(x0, 3, 2, padding=1)
+        else:
+            h1_in = x0
+            first = x0
+        feats = [first] + chain(h1_in, 1)
         return jnp.concatenate(feats, axis=-1)
 
 

@@ -56,7 +56,17 @@ class InvertedResidual(nn.Module):
 
 
 class InvertedResidualV3(nn.Module):
-    """MobileNetV3 inverted residual with optional SE and h-swish."""
+    """MobileNetV3 inverted residual with optional SE and h-swish.
+
+    ``stride`` is the ARCH stride: it decides the residual shortcut and
+    whether the depthwise conv uses TF-style adaptive ('SAME') padding,
+    exactly like the reference (``inverted_residual.py:142,170-171`` — a
+    stride-2 block gets Conv2dAdaptivePadding and never a shortcut).
+    ``dw_stride``/``dilation`` carry mmseg's post-construction segmentation
+    surgery (``mobilenet_v3.py:199-241``): the conv's stride/dilation are
+    overridden while shortcut and padding-mode decisions keep the arch
+    stride.
+    """
     out_channels: int
     mid_channels: int
     kernel_size: int = 3
@@ -65,6 +75,8 @@ class InvertedResidualV3(nn.Module):
     with_expand_conv: bool = True
     act_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
+    dilation: int = 1
+    dw_stride: Optional[int] = None
 
     def __post_init__(self):
         # ≙ reference ``inverted_residual.py:102`` ctor assert
@@ -92,9 +104,15 @@ class InvertedResidualV3(nn.Module):
             y = ConvModule(self.mid_channels, 1, norm_cfg=norm_cfg,
                            act_cfg=act_cfg, name='expand_conv')(y,
                                                                 train=train)
+        # adaptive ('SAME') padding for arch-stride-2 blocks: asymmetric
+        # bottom/right pad at stride 2, symmetric (k-1)*d/2 once the
+        # surgery sets the stride back to 1 — both match torch's
+        # Conv2dAdaptivePadding
+        pad = 'SAME' if self.stride == 2 \
+            else self.dilation * (self.kernel_size // 2)
         y = ConvModule(self.mid_channels, self.kernel_size,
-                       stride=self.stride,
-                       padding=self.kernel_size // 2,
+                       stride=self.dw_stride or self.stride,
+                       padding=pad, dilation=self.dilation,
                        groups=self.mid_channels, norm_cfg=norm_cfg,
                        act_cfg=act_cfg, name='depthwise_conv')(y,
                                                                train=train)

@@ -188,6 +188,108 @@ def _split_bottleneck(x, fv, p, planes, stride):
     return F.relu(out + idn)
 
 
+# ---------------------------------------------------------------------------
+# MobileNetV3 (reference mobilenet_v3.py) — adaptive padding, SE(HSigmoid
+# 3/6), segmentation stride/dilation surgery, 576-wide final conv
+# ---------------------------------------------------------------------------
+def _adaptive_conv(x, w, stride, dilation, groups):
+    ih, iw = x.shape[2:]
+    k = w.shape[2]
+    pad_h = max((-(-ih // stride) - 1) * stride + (k - 1) * dilation + 1 - ih,
+                0)
+    pad_w = max((-(-iw // stride) - 1) * stride + (k - 1) * dilation + 1 - iw,
+                0)
+    x = F.pad(x, [pad_w // 2, pad_w - pad_w // 2,
+                  pad_h // 2, pad_h - pad_h // 2])
+    return F.conv2d(x, w, None, stride=stride, dilation=dilation,
+                    groups=groups)
+
+
+def _mnv3_block(x, fv, p, k, mid, out_ch, with_se, act, arch_stride,
+                dw_stride, dilation):
+    from stc_unet_tpu.models.utils.inverted_residual import make_divisible
+    a = F.hardswish if act == 'HSwish' else F.relu
+    in_ch = x.shape[1]
+    y = x
+    if mid != in_ch:
+        y = a(bn(_cm_noact(y, fv, f'{p}/expand_conv'), fv,
+                 f'{p}/expand_conv/bn'))
+    w = t(fv[f'params/{p}/depthwise_conv/conv_m/conv/kernel']
+          .transpose(3, 2, 0, 1))
+    if arch_stride == 2:
+        y = _adaptive_conv(y, w, dw_stride, dilation, mid)
+    else:
+        y = F.conv2d(y, w, None, stride=dw_stride,
+                     padding=dilation * (k // 2), dilation=dilation,
+                     groups=mid)
+    y = a(bn(y, fv, f'{p}/depthwise_conv/bn'))
+    if with_se:
+        s = F.adaptive_avg_pool2d(y, 1)
+        s = F.relu(_conv(s, fv, f'{p}/se_reduce'))
+        s = F.hardsigmoid(_conv(s, fv, f'{p}/se_expand'))
+        y = y * s
+    y = bn(_cm_noact(y, fv, f'{p}/linear_conv'), fv, f'{p}/linear_conv/bn')
+    if arch_stride == 1 and in_ch == out_ch:
+        y = x + y
+    return y
+
+
+def _cm_noact(x, fv, name, stride=1, padding=0):
+    w = t(fv[f'params/{name}/conv_m/conv/kernel'].transpose(3, 2, 0, 1))
+    b = fv.get(f'params/{name}/conv_m/conv/bias')
+    return F.conv2d(x, w, t(b) if b is not None else None, stride=stride,
+                    padding=padding)
+
+
+def test_mobilenet_v3_small_oracle():
+    from stc_unet_tpu.models.builder import BACKBONES
+    rng = np.random.RandomState(94)
+    img = rng.randn(1, 64, 64, 3).astype(np.float32)
+    mod = BACKBONES.get('MobileNetV3')(arch='small',
+                                       out_indices=(0, 1, 12))
+    rngs = {'params': jax.random.PRNGKey(0),
+            'dropout': jax.random.PRNGKey(1)}
+    v = mod.init(rngs, jnp.asarray(img), train=False)
+    v = _randomize(v, 95)
+    got = mod.apply(v, jnp.asarray(img), train=False)
+    fv = _flat(v)
+
+    arch = [
+        [3, 16, 16, True, 'ReLU', 2], [3, 72, 24, False, 'ReLU', 2],
+        [3, 88, 24, False, 'ReLU', 1], [5, 96, 40, True, 'HSwish', 2],
+        [5, 240, 40, True, 'HSwish', 1], [5, 240, 40, True, 'HSwish', 1],
+        [5, 120, 48, True, 'HSwish', 1], [5, 144, 48, True, 'HSwish', 1],
+        [5, 288, 96, True, 'HSwish', 2], [5, 576, 96, True, 'HSwish', 1],
+        [5, 576, 96, True, 'HSwish', 1]]
+    x = t(img.transpose(0, 3, 1, 2))
+    w0 = t(fv['params/layer0/conv_m/conv/kernel'].transpose(3, 2, 0, 1))
+    x = F.hardswish(bn(_adaptive_conv(x, w0, 2, 1, 1), fv, 'layer0/bn'))
+    outs = [x]
+    for i, (k, mid, out_ch, with_se, act, stride) in enumerate(arch):
+        p = i + 1
+        dilation = 1
+        dw_stride = stride
+        if p >= 4:
+            dilation = 2 if p < 9 else 4
+            if p in (4, 9):
+                dw_stride = 1
+        x = _mnv3_block(x, fv, f'layer{p}', k, mid, out_ch, with_se, act,
+                        stride, dw_stride, dilation)
+        if p == 1:
+            outs.append(x)
+    x = F.hardswish(bn(_cm_noact(x, fv, 'layer12'), fv, 'layer12/bn'))
+    outs.append(x)
+
+    assert len(got) == 3
+    # output stride 8 after the surgery (layer4/layer9 strides dropped):
+    # 64² input → 8² final map (without surgery it would be 2²)
+    assert tuple(np.asarray(got[2]).shape[1:3]) == (8, 8)
+    for g, e in zip(got, outs):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32).transpose(0, 3, 1, 2), e.numpy(),
+            rtol=1e-4, atol=1e-4)
+
+
 def test_resnest_oracle():
     from stc_unet_tpu.models.builder import BACKBONES
     rng = np.random.RandomState(92)
