@@ -129,15 +129,52 @@ class STDCNet(nn.Module):
             for j in range(rep + 1):
                 x = STDCModule(ch[i + 2], stride=2 if j == 0 else 1,
                                num_convs=self.num_convs,
+                               fusion_type=self.bottleneck_type,
                                norm_cfg=norm_cfg, act_cfg=act_cfg,
                                name=f'stage{i}_{j}')(x, train=train)
             outs.append(x)
+        if self.with_final_conv:
+            # reference stdc.py:294-300 — 1x1 widen of the LAST output only
+            outs[-1] = ConvModule(max(1024, ch[-1]), 1, norm_cfg=norm_cfg,
+                                  act_cfg=act_cfg,
+                                  name='final_conv')(outs[-1], train=train)
         return outs
+
+
+class FeatureFusionModule(nn.Module):
+    """STDC FFM (reference ``stdc.py:131-184``): 1x1 fuse conv, then a
+    TWO-conv squeeze/excite attention (inter width = out // scale_factor,
+    both convs bias-free, norm-free), output = x*attn + x."""
+    out_channels: int
+    scale_factor: int = 4
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, spatial, context, train: bool = False):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        inputs = jnp.concatenate([spatial, context], axis=-1)
+        x = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
+                       act_cfg=act_cfg, name='conv0')(inputs, train=train)
+        att = jnp.mean(x, axis=(1, 2), keepdims=True)
+        att = ConvModule(self.out_channels // self.scale_factor, 1,
+                         bias=False, act_cfg=act_cfg,
+                         name='att0')(att, train=train)
+        att = ConvModule(self.out_channels, 1, bias=False, act_cfg=None,
+                         name='att1')(att, train=train)
+        att = nn.sigmoid(att)
+        return x * att + x
 
 
 @BACKBONES.register_module()
 class STDCContextPathNet(nn.Module):
-    """STDC + global context path + feature fusion (the seg wrapper)."""
+    """STDC + BiSeNet-style context path + FFM (reference ``stdc.py:328-422``).
+
+    Returns ``(outs[0], arms_out[0], arms_out[1], feat_fuse)`` — the order
+    the stock configs' ``in_index`` values address (detail head at 0,
+    aux FCN heads at 1/2, decode head at 3).
+    """
     backbone_cfg: dict = None
     last_in_channels: Sequence[int] = (1024, 512)
     out_channels: int = 128
@@ -150,50 +187,40 @@ class STDCContextPathNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ..builder import BACKBONES as REG
+        from .bisenet import AttentionRefinement
         norm_cfg = self.norm_cfg or dict(type='BN')
         backbone = REG.build(dict(self.backbone_cfg))
-        outs = backbone(x, train=train)
-        # global context on the deepest
-        deep = outs[-1]
-        gap = jnp.mean(deep, axis=(1, 2), keepdims=True)
-        gap = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
-                         act_cfg=dict(type='ReLU'),
-                         name='gap_conv')(gap, train=train)
-        arms = []
-        feat = gap
-        for i, inp in enumerate([outs[-1], outs[-2]]):
-            arm = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
-                             act_cfg=None, name=f'arm_{i}')(inp, train=train)
-            gate = jnp.mean(arm, axis=(1, 2), keepdims=True)
-            gate = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
-                              act_cfg=dict(type='Sigmoid'),
-                              name=f'arm_gate_{i}')(gate, train=train)
-            arm = arm * gate
-            feat = arm + resize(feat, size=arm.shape[1:3],
+        outs = list(backbone(x, train=train))
+        # global context: GAP → 1x1 conv (default ReLU), broadcast up
+        avg = jnp.mean(outs[-1], axis=(1, 2), keepdims=True)
+        avg_feat = ConvModule(self.out_channels, 1, norm_cfg=norm_cfg,
+                              act_cfg=dict(type='ReLU'),
+                              name='conv_avg')(avg, train=train)
+        feature_up = resize(avg_feat, size=outs[-1].shape[1:3],
+                            mode=self.upsample_mode,
+                            align_corners=self.align_corners, warning=False)
+        arms_out = []
+        for i in range(len(self.last_in_channels)):
+            # ARM(outs[-1-i]) + context, THEN upsample to the next-shallower
+            # stage and refine with a 3x3 conv (reference order: resize
+            # BEFORE the refine conv — stdc.py:404-413)
+            x_arm = AttentionRefinement(
+                self.out_channels, norm_cfg=norm_cfg,
+                name=f'arm{i}')(outs[-1 - i], train=train) + feature_up
+            feature_up = resize(x_arm, size=outs[-2 - i].shape[1:3],
                                 mode=self.upsample_mode,
                                 align_corners=self.align_corners,
                                 warning=False)
-            feat = ConvModule(self.out_channels, 3, padding=1,
-                              norm_cfg=norm_cfg, act_cfg=dict(type='ReLU'),
-                              name=f'refine_{i}')(feat, train=train)
-            arms.append(feat)
-        # feature fusion with the 1/8 feature
-        ffm_in = jnp.concatenate(
-            [outs[0], resize(arms[-1], size=outs[0].shape[1:3],
-                             mode=self.upsample_mode,
-                             align_corners=self.align_corners,
-                             warning=False)], axis=-1)
-        ffm_cfg = self.ffm_cfg or dict(in_channels=512, out_channels=256,
-                                       scale_factor=4)
-        ffm = ConvModule(ffm_cfg['out_channels'], 1, norm_cfg=norm_cfg,
-                         act_cfg=dict(type='ReLU'),
-                         name='ffm_conv')(ffm_in, train=train)
-        att = jnp.mean(ffm, axis=(1, 2), keepdims=True)
-        att = ConvModule(ffm_cfg['out_channels'], 1,
-                         act_cfg=dict(type='ReLU'),
-                         name='ffm_att1')(att, train=train)
-        att = ConvModule(ffm_cfg['out_channels'], 1,
-                         act_cfg=dict(type='Sigmoid'),
-                         name='ffm_att2')(att, train=train)
-        ffm = ffm + ffm * att
-        return [ffm] + arms + [outs[0]]
+            feature_up = ConvModule(self.out_channels, 3, padding=1,
+                                    norm_cfg=norm_cfg,
+                                    act_cfg=dict(type='ReLU'),
+                                    name=f'conv{i}')(feature_up, train=train)
+            arms_out.append(feature_up)
+        ffm_cfg = dict(self.ffm_cfg or dict(in_channels=512,
+                                            out_channels=256,
+                                            scale_factor=4))
+        feat_fuse = FeatureFusionModule(
+            out_channels=ffm_cfg['out_channels'],
+            scale_factor=ffm_cfg.get('scale_factor', 4),
+            name='ffm')(outs[0], arms_out[1], train=train)
+        return tuple([outs[0]] + arms_out + [feat_fuse])

@@ -431,6 +431,8 @@ def convert_stdc(state_dict: Dict[str, Any],
             out.bn_stat(f'{prefix}/bn', leaf, v)
 
     for key, v in sd.items():
+        if key.startswith('cp.'):   # STDC-Seg wraps the trunk as `cp.`
+            key = key[3:]
         if key.endswith('num_batches_tracked') or not \
                 key.startswith('features.'):
             continue
@@ -446,8 +448,14 @@ def convert_stdc(state_dict: Dict[str, Any],
                 member = 'conv' if parts[3] == '0' else 'bn'
                 convx(f'{block}/downsample', member, parts[-1], v)
             elif parts[2] == 'skip':
-                member = 'conv' if parts[3] == '0' else 'bn'
-                convx(f'{block}/skip', member, parts[-1], v)
+                # AddBottleneck skip = Sequential(dw-conv, BN, 1x1, BN)
+                # (official STDC-Seg; ≙ reference stdc.py:62-77) →
+                # our skip0 (dw ConvModule) + skip1 (1x1 ConvModule)
+                mod, member = {'0': ('skip0', 'conv'),
+                               '1': ('skip0', 'bn'),
+                               '2': ('skip1', 'conv'),
+                               '3': ('skip1', 'bn')}[parts[3]]
+                convx(f'{block}/{mod}', member, parts[-1], v)
     return out.variables()
 
 

@@ -34,7 +34,12 @@ def test_stdc_context_path():
         last_in_channels=(64, 32), out_channels=8,
         ffm_cfg=dict(in_channels=24, out_channels=16, scale_factor=4)))
     assert len(outs) == 4
-    assert outs[0].shape[1] == 8  # ffm at 1/8
+    # reference order (stdc.py:417-422): detail map, two ARM refinements
+    # (1/16 then 1/8 spatial), FFM fusion last
+    assert outs[0].shape == (1, 8, 8, 16)    # backbone 1/8 (detail head)
+    assert outs[1].shape == (1, 4, 4, 8)     # arm refine at 1/16
+    assert outs[2].shape == (1, 8, 8, 8)     # arm refine at 1/8
+    assert outs[3].shape == (1, 8, 8, 16)    # ffm fusion (decode head)
 
 
 def test_bisenetv1():

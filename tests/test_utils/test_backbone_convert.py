@@ -441,6 +441,66 @@ def test_stdc_convert():
     model.apply(merged, x, train=False)
 
 
+def test_stdc_convert_add_skip():
+    """'add' bottleneck: the official AddBottleneck skip is a 4-element
+    Sequential (dw-conv, BN, 1x1, BN) → our skip0/skip1 ConvModules."""
+    model = build_backbone(dict(
+        type='STDCNet', stdc_type='STDCNet1', in_channels=3,
+        channels=(8, 16, 32, 64, 128), bottleneck_type='add',
+        norm_cfg=dict(type='BN'), act_cfg=dict(type='ReLU'),
+        num_convs=4, with_final_conv=False))
+    x = jnp.zeros((1, 64, 64, 3))
+    template = _init(model, x)
+
+    def walk(tree, prefix, flat):
+        for k, v in tree.items():
+            if isinstance(v, dict) or hasattr(v, 'items'):
+                walk(v, prefix + (k,), flat)
+            else:
+                flat[prefix + (k,)] = np.asarray(v)
+        return flat
+    flat = walk(template['params'], (), {})
+    walk(template.get('batch_stats', {}), (), flat)
+
+    sd = {}
+    feat_idx = {'stem0': 0, 'stem1': 1, 'stage0_0': 2, 'stage0_1': 3,
+                'stage1_0': 4, 'stage1_1': 5, 'stage2_0': 6, 'stage2_1': 7}
+
+    def put(torch_key, path):
+        arr = flat[path]
+        if path[-1] == 'kernel':
+            arr = arr.transpose(3, 2, 0, 1)
+        sd[torch_key] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    for path in flat:
+        block, fi = path[0], feat_idx[path[0]]
+        leaf = {'kernel': 'weight', 'scale': 'weight', 'bias': 'bias',
+                'mean': 'running_mean', 'var': 'running_var'}[path[-1]]
+        if block.startswith('stem'):
+            member = 'conv' if path[1] == 'conv_m' else 'bn'
+            put(f'features.{fi}.{member}.{leaf}', path)
+        elif path[1].startswith('conv'):
+            member = 'conv' if path[2] == 'conv_m' else 'bn'
+            put(f'features.{fi}.conv_list.{path[1][4:]}.{member}.{leaf}',
+                path)
+        elif path[1] == 'downsample':
+            idx = '0' if path[2] == 'conv_m' else '1'
+            put(f'features.{fi}.avd_layer.{idx}.{leaf}', path)
+        elif path[1] in ('skip0', 'skip1'):
+            base = 0 if path[1] == 'skip0' else 2
+            idx = base if path[2] == 'conv_m' else base + 1
+            put(f'cp.features.{fi}.skip.{idx}.{leaf}', path)  # cp. stripped
+    converted = convert_stdc(sd, blocks_per_stage=(2, 2, 2))
+    merged, info = merge_pretrained(template, converted)
+    assert not info['missing'] and not info['unexpected'], \
+        (info['missing'][:5], info['unexpected'][:5])
+    # value round-trip: merged tree must equal the template it came from
+    mflat = walk(merged['params'], (), {})
+    walk(merged.get('batch_stats', {}), (), mflat)
+    for path, v in flat.items():
+        np.testing.assert_array_equal(mflat[path], v)
+
+
 # ------------------------------------------------- config-path loading ----
 
 def test_backbone_pretrained_field_loads_ckpt(tmp_path):
