@@ -39,15 +39,16 @@ class BEiTAttention(nn.Module):
     num_heads: int
     window_size: Tuple[int, int]
     qv_bias: bool = True
+    full_qkv_bias: bool = False  # MAE: plain qkv bias (mae.py:145 bias=True)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, n, c = x.shape
         hd = c // self.num_heads
         # qkv with q/v bias only (BEiT quirk: k has no bias)
-        qkv_w = nn.Dense(3 * c, use_bias=False, dtype=x.dtype,
+        qkv_w = nn.Dense(3 * c, use_bias=self.full_qkv_bias, dtype=x.dtype,
                          name='qkv')(x)
-        if self.qv_bias:
+        if self.qv_bias and not self.full_qkv_bias:
             q_bias = self.param('q_bias', nn.initializers.zeros, (c,),
                                 jnp.float32)
             v_bias = self.param('v_bias', nn.initializers.zeros, (c,),
@@ -83,6 +84,8 @@ class BEiTBlock(nn.Module):
     drop_path: float
     init_values: float = 0.1
     qv_bias: bool = True
+    full_qkv_bias: bool = False
+    ln_eps: float = 1e-6  # stock BEiT/MAE configs: LN eps=1e-6
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,12 +93,13 @@ class BEiTBlock(nn.Module):
             self.init_values), (self.dim,), jnp.float32)
         g2 = self.param('gamma_2', nn.initializers.constant(
             self.init_values), (self.dim,), jnp.float32)
-        a = nn.LayerNorm(name='norm1', dtype=x.dtype)(x)
+        a = nn.LayerNorm(epsilon=self.ln_eps, name='norm1', dtype=x.dtype)(x)
         a = BEiTAttention(self.dim, self.num_heads, self.window_size,
-                          self.qv_bias, name='attn')(a, train=train)
+                          self.qv_bias, self.full_qkv_bias,
+                          name='attn')(a, train=train)
         x = x + DropPath(self.drop_path, name='dp1')(
             g1.astype(x.dtype) * a, train=train)
-        m = nn.LayerNorm(name='norm2', dtype=x.dtype)(x)
+        m = nn.LayerNorm(epsilon=self.ln_eps, name='norm2', dtype=x.dtype)(x)
         m = nn.Dense(int(self.dim * self.mlp_ratio), dtype=x.dtype,
                      name='fc1')(m)
         m = nn.gelu(m, approximate=False)
@@ -129,6 +133,10 @@ class BEiT(nn.Module):
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
 
+    # MAE overrides (reference mae.py: abs pos-embed + full qkv bias)
+    _abs_pos_embed: bool = False
+    _full_qkv_bias: bool = False
+
     def __post_init__(self):
         from ..utils import (check_img_size_out_indices,
                              check_pretrained_init_cfg)
@@ -141,6 +149,7 @@ class BEiT(nn.Module):
     def __call__(self, x, train: bool = False):
         b = x.shape[0]
         ps = self.patch_size
+        eps = float((self.norm_cfg or {}).get('eps', 1e-6))
         x = nn.Conv(self.embed_dims, (ps, ps), strides=(ps, ps),
                     padding='VALID', dtype=x.dtype, name='patch_embed')(x)
         _, h, w, _ = x.shape
@@ -150,6 +159,25 @@ class BEiT(nn.Module):
                                (1, 1, self.embed_dims), jnp.float32)
         cls = jnp.broadcast_to(cls_token, (b, 1, self.embed_dims))
         tokens = jnp.concatenate([cls.astype(tokens.dtype), tokens], axis=1)
+        if self._abs_pos_embed:
+            # MAE: learned absolute pos-embed over (cls + grid), grid part
+            # bicubic-resized on geometry mismatch (mae.py:210-236)
+            img_size = self.img_size
+            if isinstance(img_size, (tuple, list)):
+                img_size = img_size[0]
+            side = img_size // ps
+            pos_embed = self.param('pos_embed', nn.initializers.zeros,
+                                   (1, side * side + 1, self.embed_dims),
+                                   jnp.float32)
+            grid = pos_embed[:, 1:].reshape(1, side, side, self.embed_dims)
+            if (h, w) != (side, side):
+                from stc_unet_tpu.ops import resize
+                grid = resize(grid, size=(h, w), mode='bicubic',
+                              align_corners=False, warning=False)
+            pos = jnp.concatenate(
+                [pos_embed[:, :1],
+                 grid.reshape(1, h * w, self.embed_dims)], axis=1)
+            tokens = tokens + pos.astype(tokens.dtype)
         dpr = list(np.linspace(0, self.drop_path_rate, self.num_layers))
         raw_indices = ([self.out_indices] if isinstance(self.out_indices, int)
                        else self.out_indices)  # ref normalizes int → [i]
@@ -159,10 +187,10 @@ class BEiT(nn.Module):
         for i in range(self.num_layers):
             tokens = BEiTBlock(self.embed_dims, self.num_heads, (h, w),
                                self.mlp_ratio, dpr[i], self.init_values,
-                               self.qv_bias,
+                               self.qv_bias, self._full_qkv_bias, eps,
                                name=f'layers_{i}')(tokens, train=train)
             if i == self.num_layers - 1 and self.final_norm:
-                tokens = nn.LayerNorm(name='norm1_final',
+                tokens = nn.LayerNorm(epsilon=eps, name='norm1_final',
                                       dtype=tokens.dtype)(tokens)
             if i in out_indices:
                 outs.append(tokens[:, 1:].reshape(b, h, w,
@@ -172,7 +200,10 @@ class BEiT(nn.Module):
 
 @BACKBONES.register_module()
 class MAE(BEiT):
-    """MAE backbone (BEiT block structure, abs pos-embed, no rel-pos bias
-    — approximated with the BEiT parameterization; reference ``mae.py``)."""
+    """MAE backbone (reference ``mae.py``): BEiT blocks with rel-pos bias
+    tables (zero-init) PLUS a learned absolute pos-embed added after the
+    cls concat, and a plain full qkv bias (mae.py:145 ``bias=True``)."""
     out_indices: Sequence[int] = (3, 5, 7, 11)
-    init_values: float = 1.0
+    init_values: float = 0.1
+    _abs_pos_embed: bool = True
+    _full_qkv_bias: bool = True

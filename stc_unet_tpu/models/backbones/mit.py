@@ -26,6 +26,7 @@ class EfficientMHA(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     qkv_bias: bool = True
+    ln_eps: float = 1e-6  # MiT default (reference mit.py:356); Twins: 1e-5
 
     @nn.compact
     def __call__(self, x, hw, train: bool = False):
@@ -39,7 +40,8 @@ class EfficientMHA(nn.Module):
             xr = x.reshape(b, h, w, c)
             xr = Conv2d(c, self.sr_ratio, self.sr_ratio, name='sr')(xr)
             kv_in = xr.reshape(b, -1, c)
-            kv_in = nn.LayerNorm(name='sr_norm', dtype=x.dtype)(kv_in)
+            kv_in = nn.LayerNorm(epsilon=self.ln_eps, name='sr_norm',
+                                 dtype=x.dtype)(kv_in)
         kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=x.dtype,
                       name='kv')(kv_in)
         m = kv_in.shape[1]
@@ -86,15 +88,17 @@ class MiTBlock(nn.Module):
     attn_drop: float
     drop_path: float
     qkv_bias: bool
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x, hw, train: bool = False):
-        a = nn.LayerNorm(name='norm1', dtype=x.dtype)(x)
+        a = nn.LayerNorm(epsilon=self.ln_eps, name='norm1', dtype=x.dtype)(x)
         a = EfficientMHA(self.dim, self.num_heads, self.sr_ratio,
                          self.attn_drop, self.drop, self.qkv_bias,
+                         ln_eps=self.ln_eps,
                          name='attn')(a, hw, train=train)
         x = x + DropPath(self.drop_path, name='dp1')(a, train=train)
-        m = nn.LayerNorm(name='norm2', dtype=x.dtype)(x)
+        m = nn.LayerNorm(epsilon=self.ln_eps, name='norm2', dtype=x.dtype)(x)
         m = MixFFN(self.dim, int(self.dim * self.mlp_ratio), self.drop,
                    name='ffn')(m, hw, train=train)
         return x + DropPath(self.drop_path, name='dp2')(m, train=train)
@@ -131,6 +135,7 @@ class MixVisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        eps = float((self.norm_cfg or {}).get('eps', 1e-6))
         dpr = list(np.linspace(0, self.drop_path_rate,
                                sum(self.num_layers)))
         outs = []
@@ -142,16 +147,18 @@ class MixVisionTransformer(nn.Module):
                        name=f'patch_embed{i}_proj')(x)
             b, h, w, _ = x.shape
             tokens = x.reshape(b, h * w, dim)
-            tokens = nn.LayerNorm(name=f'patch_embed{i}_norm',
+            tokens = nn.LayerNorm(epsilon=eps,
+                                  name=f'patch_embed{i}_norm',
                                   dtype=x.dtype)(tokens)
             for j in range(self.num_layers[i]):
                 tokens = MiTBlock(
                     dim, self.num_heads[i], self.sr_ratios[i],
                     self.mlp_ratio, self.drop_rate, self.attn_drop_rate,
-                    dpr[cur + j], self.qkv_bias,
+                    dpr[cur + j], self.qkv_bias, ln_eps=eps,
                     name=f'block{i}_{j}')(tokens, (h, w), train=train)
             cur += self.num_layers[i]
-            tokens = nn.LayerNorm(name=f'norm{i}', dtype=x.dtype)(tokens)
+            tokens = nn.LayerNorm(epsilon=eps, name=f'norm{i}',
+                                  dtype=x.dtype)(tokens)
             x = tokens.reshape(b, h, w, dim)
             if i in self.out_indices:
                 outs.append(x)

@@ -18,7 +18,8 @@ from ..utils.swin_core import (PatchEmbed, PatchMerging,
 
 
 class _PaddedStage(nn.Module):
-    """Swin blocks with pad-to-window + crop, then optional PatchMerging."""
+    """Swin blocks (each pads to window INSIDE, per mmseg semantics —
+    reference ``swin.py:186-249``), then optional PatchMerging."""
     dim: int
     depth: int
     num_heads: int
@@ -34,24 +35,15 @@ class _PaddedStage(nn.Module):
     def __call__(self, x, hw, train: bool = False):
         h, w = hw
         ws = self.window_size
-        pad_h = (ws - h % ws) % ws
-        pad_w = (ws - w % ws) % ws
-        hp, wp = h + pad_h, w + pad_w
         b, l, c = x.shape
-        if pad_h or pad_w:
-            x = x.reshape(b, h, w, c)
-            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-            x = x.reshape(b, hp * wp, c)
         for i in range(self.depth):
             x = SwinTransformerBlock(
-                self.dim, (hp, wp), self.num_heads, window_size=ws,
+                self.dim, (h, w), self.num_heads, window_size=ws,
                 shift_size=0 if i % 2 == 0 else ws // 2,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 drop=self.drop_rate, attn_drop=self.attn_drop_rate,
-                drop_path=self.drop_path[i],
+                drop_path=self.drop_path[i], pad_to_window=True,
                 name=f'blocks_{i}')(x, train=train)
-        if pad_h or pad_w:
-            x = x.reshape(b, hp, wp, c)[:, :h, :w].reshape(b, h * w, c)
         out = x
         if self.downsample:
             # pad to even before merging
@@ -137,7 +129,9 @@ class SwinTransformer(nn.Module):
                 downsample=i < num_layers - 1,
                 name=f'stages_{i}')(x, hw, train=train)
             if i in self.out_indices:
-                normed = nn.LayerNorm(name=f'norm{i}', dtype=out.dtype)(out)
+                # torch LN eps (mmcv build_norm_layer default, swin.py:723)
+                normed = nn.LayerNorm(epsilon=1e-5, name=f'norm{i}',
+                                      dtype=out.dtype)(out)
                 outs.append(normed.reshape(b, hw[0], hw[1], dim))
             hw = hw_next
         return outs

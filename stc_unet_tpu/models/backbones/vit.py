@@ -49,14 +49,16 @@ class _VitBlock(nn.Module):
     drop: float
     attn_drop: float
     drop_path: float
+    ln_eps: float = 1e-6  # stock ViT configs: norm_cfg LN eps=1e-6
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        a = nn.LayerNorm(name='norm1', dtype=x.dtype)(x)
+        a = nn.LayerNorm(epsilon=self.ln_eps, name='norm1', dtype=x.dtype)(x)
         a = _VitMHA(self.dim, self.num_heads, self.qkv_bias,
                     self.attn_drop, self.drop, name='attn')(a, train=train)
         x = x + DropPath(self.drop_path, name='dp1')(a, train=train)
-        m = nn.LayerNorm(name='norm2', dtype=x.dtype)(x)
+        m = nn.LayerNorm(epsilon=self.ln_eps, name='norm2',
+                         dtype=x.dtype)(x)
         m = nn.Dense(int(self.dim * self.mlp_ratio), dtype=x.dtype,
                      name='fc1')(m)
         m = nn.gelu(m, approximate=False)
@@ -148,6 +150,7 @@ class VisionTransformer(nn.Module):
         if not self.with_cls_token:
             tokens = tokens[:, 1:]
         dpr = list(np.linspace(0, self.drop_path_rate, self.num_layers))
+        eps = float((self.norm_cfg or {}).get('eps', 1e-6))
         out_indices = [i if i >= 0 else self.num_layers + i
                        for i in self.out_indices]
         outs = []
@@ -155,9 +158,10 @@ class VisionTransformer(nn.Module):
             tokens = _VitBlock(
                 self.embed_dims, self.num_heads, self.mlp_ratio,
                 self.qkv_bias, self.drop_rate, self.attn_drop_rate, dpr[i],
+                ln_eps=eps,
                 name=f'layers_{i}')(tokens, train=train)
             if i == self.num_layers - 1 and self.final_norm:
-                tokens = nn.LayerNorm(name='norm1_final',
+                tokens = nn.LayerNorm(epsilon=eps, name='norm1_final',
                                       dtype=tokens.dtype)(tokens)
             if i in out_indices:
                 t = tokens[:, 1:] if self.with_cls_token else tokens

@@ -153,7 +153,16 @@ class SwinMlp(nn.Module):
 
 class SwinTransformerBlock(nn.Module):
     """Swin block: (S)W-MSA + MLP with pre-LN and drop-path
-    (reference ``swinunet_head.py:190``)."""
+    (reference ``swinunet_head.py:190``).
+
+    ``pad_to_window=False`` (SwinUNet semantics, original Microsoft code):
+    if the feature map is not larger than the window, shrink the window to
+    the map and drop the shift. ``pad_to_window=True`` (mmseg backbone
+    semantics, reference ``swin.py:180-252``): NEVER shrink — zero-pad the
+    norm1 output bottom/right to a window multiple inside every block,
+    attend (mask computed over the padded canvas), crop back. The two
+    differ numerically whenever (h, w) is not a window multiple.
+    """
     dim: int
     input_resolution: Tuple[int, int]
     num_heads: int
@@ -165,12 +174,13 @@ class SwinTransformerBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    pad_to_window: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h, w = self.input_resolution
         window_size, shift_size = self.window_size, self.shift_size
-        if min(h, w) <= window_size:
+        if not self.pad_to_window and min(h, w) <= window_size:
             # window larger than input → plain attention (reference guard)
             shift_size = 0
             window_size = min(h, w)
@@ -180,9 +190,16 @@ class SwinTransformerBlock(nn.Module):
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, name='norm1', dtype=x.dtype)(x)
         x = x.reshape(b, h, w, c)
+        pad_b = pad_r = 0
+        if self.pad_to_window:
+            pad_b = (window_size - h % window_size) % window_size
+            pad_r = (window_size - w % window_size) % window_size
+            if pad_b or pad_r:
+                x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
         if shift_size > 0:
             x = jnp.roll(x, (-shift_size, -shift_size), axis=(1, 2))
-        mask = shifted_window_mask(h, w, window_size, shift_size)
+        mask = shifted_window_mask(hp, wp, window_size, shift_size)
         x_windows = window_partition(x, window_size)
         x_windows = x_windows.reshape(-1, window_size * window_size, c)
         attn_windows = WindowAttention(
@@ -191,9 +208,11 @@ class SwinTransformerBlock(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop,
             name='attn')(x_windows, mask=mask, train=train)
         attn_windows = attn_windows.reshape(-1, window_size, window_size, c)
-        x = window_reverse(attn_windows, window_size, h, w)
+        x = window_reverse(attn_windows, window_size, hp, wp)
         if shift_size > 0:
             x = jnp.roll(x, (shift_size, shift_size), axis=(1, 2))
+        if pad_b or pad_r:
+            x = x[:, :h, :w]
         x = x.reshape(b, h * w, c)
         x = shortcut + DropPath(self.drop_path, name='drop_path1')(
             x, train=train)

@@ -319,6 +319,8 @@ def convert_beit(state_dict: Dict[str, Any]) -> Dict[str, Any]:
             out.p('patch_embed/bias', _np(v))
         elif key == 'cls_token':
             out.p('cls_token', _np(v))
+        elif key == 'pos_embed':   # MAE: absolute pos-embed (mae.py:128)
+            out.p('pos_embed', _np(v))
         else:
             m = re.fullmatch(r'blocks\.(\d+)\.(.+)', key)
             if m is None:
@@ -329,6 +331,8 @@ def convert_beit(state_dict: Dict[str, Any]) -> Dict[str, Any]:
                 out.p(f'{base}/{rest}', _np(v))
             elif rest == 'attn.qkv.weight':
                 out.p(f'{base}/attn/qkv/kernel', _lin_w(v))
+            elif rest == 'attn.qkv.bias':   # MAE: full qkv bias
+                out.p(f'{base}/attn/qkv/bias', _np(v))
             elif rest in ('attn.q_bias', 'attn.v_bias'):
                 out.p(f'{base}/attn/{rest.split(".")[-1]}', _np(v))
             elif rest == 'attn.relative_position_bias_table':
@@ -383,6 +387,10 @@ def convert_twins(state_dict: Dict[str, Any]) -> Dict[str, Any]:
                 out.p(f'peg{m.group(1)}/proj/conv/kernel', _conv_w(v))
             else:
                 out.p(f'peg{m.group(1)}/proj/conv/bias', _np(v))
+            continue
+        m = re.fullmatch(r'norm_list\.(\d+)\.(weight|bias)', key)
+        if m:   # SVT norm_after_stage norms
+            out.ln(f'norm{m.group(1)}', m.group(2), v)
             continue
         m = re.fullmatch(r'blocks\.(\d+)\.(\d+)\.(.+)', key)
         if m is None:

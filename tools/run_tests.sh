@@ -18,19 +18,24 @@
 #   1  everything except models + config zoo (fast core/engine/data/apis)
 #   2  tests/test_models (per-component model tests)
 #   3  tests/test_config_zoo.py + zoo forward tier (config sweeps)
+#   smoke  ~5-min cross-cutting tier: converters, registries, value
+#          oracles, segmentor protocol — run before EVERY commit
+#          (bash tools/run_tests.sh smoke); full suite before snapshot.
 set -u
 cd "$(dirname "$0")/.."
 
 # pytest.ini addopts already has -q; adding another makes -qq which
 # suppresses the final count line the artifact parses
 PYTEST="python -m pytest ${PYTEST_ARGS:-}"
-declare -a NAMES CMDS
+declare -A NAMES CMDS
 NAMES[1]="core/engine/data/apis/tools"
 CMDS[1]="$PYTEST tests/ --ignore=tests/test_models --ignore=tests/test_config_zoo.py --ignore=tests/test_zoo_forward_tier.py"
 NAMES[2]="models"
 CMDS[2]="$PYTEST tests/test_models"
 NAMES[3]="config zoo sweeps"
 CMDS[3]="$PYTEST tests/test_config_zoo.py tests/test_zoo_forward_tier.py"
+NAMES[smoke]="smoke tier (pre-commit)"
+CMDS[smoke]="$PYTEST tests/test_utils/test_backbone_convert.py tests/test_utils/test_torch_convert.py tests/test_models/test_registry_parity.py tests/test_models/test_neck_oracles.py tests/test_models/test_backbones/test_backbone_oracles_b3.py tests/test_models/test_segmentors"
 
 ART=docs/data/test_run.json
 declare -a RESULTS
@@ -49,7 +54,7 @@ run_shard() {
     summary=$(grep -Eo '[0-9]+ (passed|failed|error|skipped)[^=]*' "$log" | tail -1 | sed 's/[[:space:]]*$//')
     rm -f "$log"
     echo "=== shard $i rc=$rc in ${dt}s ==="
-    RESULTS+=("{\"shard\": $i, \"name\": \"${NAMES[$i]}\", \"rc\": $rc, \"wall_s\": $dt, \"summary\": \"${summary:-unknown}\"}")
+    RESULTS+=("{\"shard\": \"$i\", \"name\": \"${NAMES[$i]}\", \"rc\": $rc, \"wall_s\": $dt, \"summary\": \"${summary:-unknown}\"}")
     return $rc
 }
 
