@@ -59,13 +59,18 @@ class FastSCNN(nn.Module):
         x = ConvModule(self.downsample_dw_channels[0], 3, 2, padding=1,
                        norm_cfg=norm_cfg, act_cfg=act_cfg,
                        name='ld_conv')(x, train=train)
+        # reference fast_scnn.py:58-74: the LTD dsconvs get dw_act_cfg
+        # (default None → NO dw activation) and the mmcv-default ReLU on
+        # the pointwise conv
         x = DepthwiseSeparableConvModule(
             self.downsample_dw_channels[1], 3, stride=2, padding=1,
-            norm_cfg=norm_cfg, act_cfg=act_cfg,
+            norm_cfg=norm_cfg, act_cfg=dict(type='ReLU'),
+            dw_act_cfg=self.dw_act_cfg,
             name='ld_dsconv1')(x, train=train)
         higher = DepthwiseSeparableConvModule(
             self.global_in_channels, 3, stride=2, padding=1,
-            norm_cfg=norm_cfg, act_cfg=act_cfg,
+            norm_cfg=norm_cfg, act_cfg=dict(type='ReLU'),
+            dw_act_cfg=self.dw_act_cfg,
             name='ld_dsconv2')(x, train=train)
         # global feature extractor
         g = higher

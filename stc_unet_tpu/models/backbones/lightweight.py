@@ -143,7 +143,10 @@ class CGNet(nn.Module):
 
 
 class NonBottleneck1d(nn.Module):
-    """ERFNet factorized residual block (3x1 + 1x3 pairs)."""
+    """ERFNet factorized residual block (3x1 + 1x3 pairs).
+
+    BN eps 1e-3: the reference builds every ERFNet norm from
+    ``norm_cfg=dict(type='BN', eps=1e-3)`` (erfnet.py:35,96,166)."""
     channels: int
     dilation: int = 1
     drop_rate: float = 0.0
@@ -154,13 +157,13 @@ class NonBottleneck1d(nn.Module):
         y = Conv2d(self.channels, (3, 1), padding=(1, 0), name='conv1a')(x)
         y = nn.relu(y)
         y = Conv2d(self.channels, (1, 3), padding=(0, 1), name='conv1b')(y)
-        y = nn.relu(BatchNorm(name='bn1')(y, train=train))
+        y = nn.relu(BatchNorm(eps=1e-3, name='bn1')(y, train=train))
         y = Conv2d(self.channels, (3, 1), padding=(d, 0),
                    dilation=(d, 1), name='conv2a')(y)
         y = nn.relu(y)
         y = Conv2d(self.channels, (1, 3), padding=(0, d),
                    dilation=(1, d), name='conv2b')(y)
-        y = BatchNorm(name='bn2')(y, train=train)
+        y = BatchNorm(eps=1e-3, name='bn2')(y, train=train)
         y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
         return nn.relu(x + y)
 
@@ -171,11 +174,17 @@ class ERFDownsampler(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ..bricks import max_pool2d
+        from stc_unet_tpu.ops import resize as _resize
         conv = Conv2d(self.out_channels - x.shape[-1], 3, 2, padding=1,
                       name='conv')(x)
         pool = max_pool2d(x, 2, 2)
+        if pool.shape[1:3] != conv.shape[1:3]:
+            # reference erfnet.py:54-62: bilinear-resize the pooled branch
+            # to the conv branch's size (they differ at odd inputs)
+            pool = _resize(pool, size=conv.shape[1:3], mode='bilinear',
+                           align_corners=False, warning=False)
         y = jnp.concatenate([conv, pool], axis=-1)
-        return nn.relu(BatchNorm(name='bn')(y, train=train))
+        return nn.relu(BatchNorm(eps=1e-3, name='bn')(y, train=train))
 
 
 @BACKBONES.register_module()
@@ -222,8 +231,10 @@ class ERFNet(nn.Module):
         x = ERFDownsampler(self.enc_downsample_channels[1],
                            name='down1')(x, train=train)
         for i in range(self.enc_stage_non_bottlenecks[0]):
+            # reference erfnet.py:306-309: every encoder block gets
+            # dropout_ratio (NOT the original paper's 0.03 for stage 1)
             x = NonBottleneck1d(self.enc_non_bottleneck_channels[0],
-                                drop_rate=0.03,
+                                drop_rate=self.dropout_ratio,
                                 name=f'enc1_{i}')(x, train=train)
         x = ERFDownsampler(self.enc_downsample_channels[2],
                            name='down2')(x, train=train)
@@ -235,12 +246,18 @@ class ERFNet(nn.Module):
                                 drop_rate=self.dropout_ratio,
                                 name=f'enc2_{i}')(x, train=train)
         # decoder
-        for si in range(2):
-            ch = self.dec_upsample_channels[si]
-            x = nn.ConvTranspose(ch, (3, 3), strides=(2, 2),
-                                 padding='SAME', dtype=x.dtype,
-                                 name=f'up{si}')(x)
-            x = nn.relu(BatchNorm(name=f'up{si}_bn')(x, train=train))
+        for si in range(len(self.dec_upsample_channels)):
+            # reference erfnet.py:313-319: upsampler width comes from
+            # dec_non_bottleneck_channels (dec_upsample_channels only
+            # feeds the ctor count asserts)
+            ch = self.dec_non_bottleneck_channels[si]
+            # reference erfnet.py:175-183: ConvTranspose2d(3, s2, pad 1,
+            # output_padding 1) — torch-exact alignment via the brick
+            from ..bricks import ConvTranspose2d as _CT
+            x = _CT(ch, 3, 2, padding=1, output_padding=1,
+                    name=f'up{si}')(x)
+            x = nn.relu(BatchNorm(eps=1e-3, name=f'up{si}_bn')(x,
+                                                               train=train))
             for i in range(self.dec_stages_non_bottleneck[si]):
                 x = NonBottleneck1d(self.dec_non_bottleneck_channels[si],
                                     name=f'dec{si}_{i}')(x, train=train)
@@ -274,35 +291,43 @@ class ICNet(nn.Module):
         from .psp_like import PPMJoin
         norm_cfg = self.norm_cfg or dict(type='BN')
         act_cfg = self.act_cfg or dict(type='ReLU')
-        # sub1: light conv branch at full res
+        # sub1: light conv branch at full res — mmcv ConvModules built
+        # WITHOUT act_cfg → default ReLU (reference icnet.py:96-118);
+        # conv_sub2/4 likewise use the ConvModule default act.
         s1 = x
         for i, (ch, s) in enumerate([
                 (self.light_branch_middle_channels, 2),
                 (self.light_branch_middle_channels, 2),
                 (self.out_channels[0], 2)]):
             s1 = ConvModule(ch, 3, s, padding=1, norm_cfg=norm_cfg,
-                            act_cfg=act_cfg,
+                            act_cfg=dict(type='ReLU'),
                             name=f'conv_sub1_{i}')(s1, train=train)
-        # sub2/sub4: shared backbone on 1/2 input
+        # sub2/sub4: the trunk split mid-network (reference
+        # icnet.py:140-156): stem + CEIL-mode maxpool + layer1/2 on the
+        # half-res input; the layer2 feature is halved AGAIN before
+        # layer3/4 run (the icnet_cascade flag on our ResNet). out_indices
+        # must cover stages 1 and 3.
         half = resize(x, scale_factor=0.5, mode='bilinear',
                       align_corners=self.align_corners, warning=False)
         backbone = REG.build(dict(self.backbone_cfg))
-        feats = backbone(half, train=train)
+        feats = backbone(half, train=train, icnet_cascade=True,
+                         icnet_align_corners=self.align_corners)
         s2 = feats[1]
-        # the reference's sub4 path halves once more before layer3/4;
-        # approximate by halving the deepest feature (guard tiny maps)
         s4 = feats[-1]
-        if s4.shape[1] > 1 and s4.shape[2] > 1:
-            s4 = resize(s4, scale_factor=0.5, mode='bilinear',
-                        align_corners=self.align_corners, warning=False)
+        # PSP over layer4: pooled branches (each projected to
+        # psp_out_channels) concatenated BEFORE x, then a 3x3 bottleneck
+        # (reference icnet.py:77-94,150-152 + psp_head.py PPM)
         s4 = PPMJoin(self.psp_out_channels, tuple(self.pool_scales),
                      norm_cfg=norm_cfg, act_cfg=act_cfg,
                      align_corners=self.align_corners,
+                     branch_channels=self.psp_out_channels, x_first=False,
                      name='psp')(s4, train=train)
         s2 = ConvModule(self.out_channels[1], 1, norm_cfg=norm_cfg,
-                        act_cfg=act_cfg, name='conv_sub2')(s2, train=train)
+                        act_cfg=dict(type='ReLU'),
+                        name='conv_sub2')(s2, train=train)
         s4 = ConvModule(self.out_channels[2], 1, norm_cfg=norm_cfg,
-                        act_cfg=act_cfg, name='conv_sub4')(s4, train=train)
+                        act_cfg=dict(type='ReLU'),
+                        name='conv_sub4')(s4, train=train)
         return [s1, s2, s4]
 
 

@@ -91,8 +91,25 @@ class _Downsample(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.avg_down and self.stride > 1:
-            x = avg_pool2d(x, self.stride, self.stride,
-                           count_include_pad=False)
+            # reference res_layer.py:50-54: AvgPool2d(ceil_mode=True,
+            # count_include_pad=False) — ceil by padding bottom/right, the
+            # divisor counting only valid elements
+            s = self.stride
+            ph = (s - x.shape[1] % s) % s
+            pw = (s - x.shape[2] % s) % s
+            if ph or pw:
+                import jax as _jax
+                import jax.numpy as _jnp
+                pad4 = ((0, 0), (0, ph), (0, pw), (0, 0))
+                summed = _jax.lax.reduce_window(
+                    x, 0.0, _jax.lax.add, (1, s, s, 1), (1, s, s, 1), pad4)
+                ones = _jnp.ones(x.shape[:3] + (1,), x.dtype)
+                counts = _jax.lax.reduce_window(
+                    ones, 0.0, _jax.lax.add, (1, s, s, 1), (1, s, s, 1),
+                    pad4)
+                x = summed / counts
+            else:
+                x = avg_pool2d(x, s, s, count_include_pad=False)
             x = Conv2d(self.out_ch, 1, 1, use_bias=False, name='0')(x)
         else:
             x = Conv2d(self.out_ch, 1, self.stride, use_bias=False,
@@ -122,7 +139,9 @@ class ResLayer(nn.Module):
     def __call__(self, x, train: bool = False):
         for i in range(self.num_blocks):
             if self.multi_grid is not None:
-                dilation = self.dilation * self.multi_grid[i]
+                # reference res_layer.py:73,92: multi_grid[i] IS the
+                # dilation of block i (not a multiplier on the stage rate)
+                dilation = self.multi_grid[i]
             elif i == 0 and self.dilation > 1 and self.contract_dilation:
                 dilation = self.dilation // 2
             else:
@@ -202,7 +221,11 @@ class ResNet(nn.Module):
         super().__post_init__()
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, icnet_cascade: bool = False,
+                 icnet_align_corners: bool = False):
+        """``icnet_cascade=True`` reproduces the reference ICNet's use of
+        this trunk (icnet.py:73-75,141-148): ceil-mode stem max-pool, and
+        the layer2 feature bilinearly halved before layer3 runs."""
         block, stage_blocks = self.arch_settings[self.depth]
         stage_blocks = stage_blocks[:self.num_stages]
 
@@ -219,10 +242,15 @@ class ResNet(nn.Module):
                        name='conv1')(x)
             x = BatchNorm(name='bn1')(x, train=train)
             x = nn.relu(x)
-        x = max_pool2d(x, 3, 2, padding=1)
+        x = max_pool2d(x, 3, 2, padding=1, ceil_mode=icnet_cascade)
 
         outs = []
         for i, num_blocks in enumerate(stage_blocks):
+            if icnet_cascade and i == 2:
+                from stc_unet_tpu.ops import resize as _resize
+                x = _resize(x, scale_factor=0.5, mode='bilinear',
+                            align_corners=icnet_align_corners,
+                            warning=False)
             planes = self.base_channels * 2**i
             multi_grid = self.multi_grid if i == len(stage_blocks) - 1 \
                 else None

@@ -351,12 +351,18 @@ class DepthwiseSeparableConvModule(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def max_pool2d(x, kernel_size=2, stride=None, padding=0):
-    """torch MaxPool2d semantics on NHWC (floor-mode, -inf padding)."""
+def max_pool2d(x, kernel_size=2, stride=None, padding=0, ceil_mode=False):
+    """torch MaxPool2d semantics on NHWC (-inf padding; optional
+    ceil_mode adds bottom/right -inf padding so the last partial window
+    is kept, like torch)."""
     k = _pair(kernel_size)
     s = _pair(stride if stride is not None else kernel_size)
     p = _pair(padding)
-    pad = ((p[0], p[0]), (p[1], p[1]))
+    eh = ew = 0
+    if ceil_mode:
+        eh = (-(x.shape[1] + 2 * p[0] - k[0])) % s[0]
+        ew = (-(x.shape[2] + 2 * p[1] - k[1])) % s[1]
+    pad = ((p[0], p[0] + eh), (p[1], p[1] + ew))
     return nn.max_pool(x, window_shape=k, strides=s, padding=pad)
 
 

@@ -23,19 +23,23 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=256)
-def _linear_coords(in_size: int, out_size: int, align_corners: bool):
+def _linear_coords(in_size: int, out_size: int, align_corners: bool,
+                   scale: Optional[float] = None):
     """Source indices and lerp weights for 1-D linear resampling.
 
     Matches torch's coordinate transforms:
       align_corners=True:  src = i * (in-1)/(out-1)
-      align_corners=False: src = (i + 0.5) * in/out - 0.5, clamped to [0, in-1]
+      align_corners=False: src = (i + 0.5) / scale - 0.5, clamped, where
+        scale is the LITERAL scale_factor when the caller passed one
+        (torch recompute_scale_factor=None semantics) else out/in.
     Returns numpy arrays (static, baked into the jaxpr as constants).
     """
     i = np.arange(out_size, dtype=np.float64)
     if align_corners:
         src = i * (in_size - 1) / max(out_size - 1, 1)
     else:
-        src = (i + 0.5) * (in_size / out_size) - 0.5
+        inv = (1.0 / scale) if scale else (in_size / out_size)
+        src = (i + 0.5) * inv - 0.5
         src = np.clip(src, 0.0, in_size - 1)
     i0 = np.clip(np.floor(src).astype(np.int32), 0, in_size - 1)
     i1 = np.minimum(i0 + 1, in_size - 1)
@@ -44,8 +48,8 @@ def _linear_coords(in_size: int, out_size: int, align_corners: bool):
 
 
 @functools.lru_cache(maxsize=256)
-def _cubic_matrix(in_size: int, out_size: int,
-                  align_corners: bool) -> np.ndarray:
+def _cubic_matrix(in_size: int, out_size: int, align_corners: bool,
+                  scale: Optional[float] = None) -> np.ndarray:
     """(in, out) bicubic interpolation matrix, torch semantics (Keys kernel
     with a = -0.75, border-replicated taps). ≤4 nonzeros per column."""
     a = -0.75
@@ -60,7 +64,8 @@ def _cubic_matrix(in_size: int, out_size: int,
     if align_corners:
         src = i * (in_size - 1) / max(out_size - 1, 1)
     else:
-        src = (i + 0.5) * (in_size / out_size) - 0.5
+        inv = (1.0 / scale) if scale else (in_size / out_size)
+        src = (i + 0.5) * inv - 0.5
     i0 = np.floor(src).astype(np.int64)
     frac = src - i0
     m = np.zeros((in_size, out_size), np.float64)
@@ -72,14 +77,15 @@ def _cubic_matrix(in_size: int, out_size: int,
 
 
 def _resize_axis_cubic(x: jax.Array, axis: int, out_size: int,
-                       align_corners: bool) -> jax.Array:
+                       align_corners: bool,
+                       scale: Optional[float] = None) -> jax.Array:
     """1-D cubic resample along a spatial axis (same MXU-matmul form as
     :func:`_resize_axis_linear`)."""
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
     dtype = x.dtype
-    m = _cubic_matrix(in_size, out_size, align_corners)
+    m = _cubic_matrix(in_size, out_size, align_corners, scale)
     if dtype == jnp.bfloat16:
         operand, mat = x, jnp.asarray(m, jnp.bfloat16)
     else:
@@ -93,20 +99,23 @@ def _resize_axis_cubic(x: jax.Array, axis: int, out_size: int,
 
 
 @functools.lru_cache(maxsize=256)
-def _nearest_coords(in_size: int, out_size: int):
-    """torch 'nearest' (legacy): src_idx = floor(i * in/out)."""
+def _nearest_coords(in_size: int, out_size: int,
+                    scale: Optional[float] = None):
+    """torch 'nearest' (legacy): src_idx = floor(i / scale), scale the
+    literal scale_factor when given else out/in."""
     i = np.arange(out_size, dtype=np.float64)
-    idx = np.floor(i * (in_size / out_size)).astype(np.int32)
+    inv = (1.0 / scale) if scale else (in_size / out_size)
+    idx = np.floor(i * inv).astype(np.int32)
     return np.clip(idx, 0, in_size - 1)
 
 
 @functools.lru_cache(maxsize=256)
-def _linear_matrix(in_size: int, out_size: int,
-                   align_corners: bool) -> np.ndarray:
+def _linear_matrix(in_size: int, out_size: int, align_corners: bool,
+                   scale: Optional[float] = None) -> np.ndarray:
     """(in, out) interpolation matrix: ≤2 nonzeros per column (the lerp
     weights). Contracting with it IS the lerp — every other term is an
     exact 0.0, so f32 results match the elementwise form bit-for-bit."""
-    i0, i1, w1 = _linear_coords(in_size, out_size, align_corners)
+    i0, i1, w1 = _linear_coords(in_size, out_size, align_corners, scale)
     m = np.zeros((in_size, out_size), np.float32)
     cols = np.arange(out_size)
     np.add.at(m, (i0, cols), 1.0 - w1)
@@ -115,7 +124,8 @@ def _linear_matrix(in_size: int, out_size: int,
 
 
 def _resize_axis_linear(x: jax.Array, axis: int, out_size: int,
-                        align_corners: bool) -> jax.Array:
+                        align_corners: bool,
+                        scale: Optional[float] = None) -> jax.Array:
     """1-D linear resample along a spatial axis of an NHWC array.
 
     Formulated as a matmul with the static interpolation matrix: on TPU a
@@ -131,7 +141,7 @@ def _resize_axis_linear(x: jax.Array, axis: int, out_size: int,
     if in_size * out_size > 8_000_000:
         # giant axes (≳3k²): the dense interpolation matrix and its FLOPs
         # outgrow the gather cost — fall back to the two-tap lerp
-        i0, i1, w1 = _linear_coords(in_size, out_size, align_corners)
+        i0, i1, w1 = _linear_coords(in_size, out_size, align_corners, scale)
         xf = x.astype(jnp.float32) if dtype != jnp.float64 else x
         lo = jnp.take(xf, jnp.asarray(i0), axis=axis)
         hi = jnp.take(xf, jnp.asarray(i1), axis=axis)
@@ -139,7 +149,7 @@ def _resize_axis_linear(x: jax.Array, axis: int, out_size: int,
         shape[axis] = out_size
         w = jnp.asarray(w1).reshape(shape)
         return (lo * (1.0 - w) + hi * w).astype(dtype)
-    m = _linear_matrix(in_size, out_size, align_corners)
+    m = _linear_matrix(in_size, out_size, align_corners, scale)
     if dtype == jnp.bfloat16:
         operand, mat = x, jnp.asarray(m, jnp.bfloat16)
     else:
@@ -152,23 +162,25 @@ def _resize_axis_linear(x: jax.Array, axis: int, out_size: int,
 
 
 @functools.lru_cache(maxsize=256)
-def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
+def _nearest_matrix(in_size: int, out_size: int,
+                    scale: Optional[float] = None) -> np.ndarray:
     """(in, out) 0/1 selection matrix — nearest as a matmul (exact; see
     _resize_axis_linear for why gathers are avoided on TPU)."""
-    idx = _nearest_coords(in_size, out_size)
+    idx = _nearest_coords(in_size, out_size, scale)
     m = np.zeros((in_size, out_size), np.float32)
     m[idx, np.arange(out_size)] = 1.0
     return m
 
 
-def _resize_axis_nearest(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+def _resize_axis_nearest(x: jax.Array, axis: int, out_size: int,
+                         scale: Optional[float] = None) -> jax.Array:
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
     if not jnp.issubdtype(x.dtype, jnp.floating):
-        idx = _nearest_coords(in_size, out_size)
+        idx = _nearest_coords(in_size, out_size, scale)
         return jnp.take(x, jnp.asarray(idx), axis=axis)
-    m = jnp.asarray(_nearest_matrix(in_size, out_size), x.dtype)
+    m = jnp.asarray(_nearest_matrix(in_size, out_size, scale), x.dtype)
     sub = 'nhwc,hH->nHwc' if axis == 1 else 'nhwc,wW->nhWc'
     return jnp.einsum(sub, x, m,
                       preferred_element_type=jnp.float32).astype(x.dtype)
@@ -198,6 +210,7 @@ def resize(input: jax.Array,
     if input.ndim != 4:
         raise ValueError(f'resize expects a 4D NHWC array, got {input.shape}')
     in_h, in_w = input.shape[1], input.shape[2]
+    sh = sw = None
     if size is None:
         if scale_factor is None:
             raise ValueError('either size or scale_factor must be given')
@@ -205,6 +218,9 @@ def resize(input: jax.Array,
             sh, sw = scale_factor
         else:
             sh = sw = scale_factor
+        # torch recompute_scale_factor=None: the LITERAL scale enters the
+        # source-coordinate math (differs from size-derived whenever
+        # in*scale is fractional, e.g. 5 → 2 at 0.5)
         size = (int(in_h * sh), int(in_w * sw))
     out_h, out_w = int(size[0]), int(size[1])
 
@@ -225,18 +241,18 @@ def resize(input: jax.Array,
     if mode == 'nearest':
         if align_corners is not None:
             raise ValueError('align_corners is not applicable for nearest')
-        x = _resize_axis_nearest(input, 1, out_h)
-        x = _resize_axis_nearest(x, 2, out_w)
+        x = _resize_axis_nearest(input, 1, out_h, sh)
+        x = _resize_axis_nearest(x, 2, out_w, sw)
         return x
     if mode == 'bilinear':
         ac = bool(align_corners)
-        x = _resize_axis_linear(input, 1, out_h, ac)
-        x = _resize_axis_linear(x, 2, out_w, ac)
+        x = _resize_axis_linear(input, 1, out_h, ac, sh)
+        x = _resize_axis_linear(x, 2, out_w, ac, sw)
         return x
     if mode == 'bicubic':
         ac = bool(align_corners)
-        x = _resize_axis_cubic(input, 1, out_h, ac)
-        x = _resize_axis_cubic(x, 2, out_w, ac)
+        x = _resize_axis_cubic(input, 1, out_h, ac, sh)
+        x = _resize_axis_cubic(x, 2, out_w, ac, sw)
         return x
     raise ValueError(f'Unsupported resize mode: {mode}')
 
