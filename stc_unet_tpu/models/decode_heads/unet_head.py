@@ -38,21 +38,39 @@ class CoordAtt(nn.Module):
 
     H-strip and W-strip average pools → shared 1x1 conv bottleneck (BN +
     h_swish) → per-axis 1x1 conv + sigmoid → outer-product gate a_w * a_h.
-    Returns the gate (caller adds it residually: ``x = ca(x) + x``).
+    Returns the gate; with ``residual=True`` returns ``a_w * a_h + x``
+    (the reference Up usage, ``unet_head.py:56`` — note the author's
+    additive quirk: the gate is ADDED, not multiplied).
+
+    Perf note: fused Pallas strip-pool/gate-add kernels exist
+    (``ops/coordatt_fused.py``) and beat the XLA chain 1.29x standalone
+    at the slide geometry, but REGRESS the full program (custom-call
+    layout-boundary copies) — so the model default is the plain XLA
+    chain; ``STC_UNET_TPU_FUSED_COORDATT=on`` forces the fused eval
+    path for re-measurement. Full measurement trail:
+    ``docs/data/coordatt_fused_probe.json`` / ``_inprogram.json``.
     """
     oup: int
     reduction: int = 4
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, residual: bool = False):
+        from stc_unet_tpu.ops.coordatt_fused import (coordatt_fused_enabled,
+                                                     gate_add, strip_pools)
         n, h, w, c = x.shape
         mip = max(8, c // self.reduction)
-        # strip pools accumulate in f32: bf16-native reductions lower ~10x
-        # slower on TPU (see KernelSelectAttention note) and less accurately
-        xf = x.astype(jnp.float32)
-        x_h = jnp.mean(xf, axis=2, keepdims=True).astype(x.dtype)
-        x_w = jnp.mean(xf, axis=1, keepdims=True).astype(x.dtype)
-        x_w_t = jnp.transpose(x_w, (0, 2, 1, 3))            # (N, W, 1, C)
+        fused = residual and not train and coordatt_fused_enabled()
+        if fused:
+            sh, sw = strip_pools(x)                         # f32 sums
+            x_h = (sh / w).astype(x.dtype)[:, :, None, :]   # (N, H, 1, C)
+            x_w_t = (sw / h).astype(x.dtype)[:, :, None, :]  # (N, W, 1, C)
+        else:
+            # strip pools accumulate in f32: bf16-native reductions lower
+            # ~10x slower on TPU (see KernelSelectAttention note)
+            xf = x.astype(jnp.float32)
+            x_h = jnp.mean(xf, axis=2, keepdims=True).astype(x.dtype)
+            x_w = jnp.mean(xf, axis=1, keepdims=True).astype(x.dtype)
+            x_w_t = jnp.transpose(x_w, (0, 2, 1, 3))        # (N, W, 1, C)
         y = jnp.concatenate([x_h, x_w_t], axis=1)           # (N, H+W, 1, C)
         y = Conv2d(mip, 1, name='conv1')(y)
         y = BatchNorm(name='bn1')(y, train=train)
@@ -61,7 +79,10 @@ class CoordAtt(nn.Module):
         y_w = jnp.transpose(y_w, (0, 2, 1, 3))              # (N, 1, W, mip)
         a_h = nn.sigmoid(Conv2d(self.oup, 1, name='conv_h')(y_h))
         a_w = nn.sigmoid(Conv2d(self.oup, 1, name='conv_w')(y_w))
-        return a_w * a_h
+        if fused:
+            return gate_add(x, a_h[:, :, 0, :], a_w[:, 0, :, :])
+        gate = a_w * a_h
+        return gate + x if residual else gate
 
 
 class Up(nn.Module):
@@ -83,7 +104,8 @@ class Up(nn.Module):
                              diff_y // 2, diff_y - diff_y // 2))
         x = jnp.concatenate([x2, x1], axis=-1)
         if self.se:
-            x = CoordAtt(x.shape[-1], name='ca')(x, train=train) + x
+            x = CoordAtt(x.shape[-1], name='ca')(x, train=train,
+                                                 residual=True)
         return DoubleConv(self.out_ch, name='conv')(x, train=train)
 
 
