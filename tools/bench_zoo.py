@@ -243,7 +243,9 @@ def main():
             results[name] = {'error': traceback.format_exc()[-400:]}
         results[name]['bench_wall_s'] = round(time.perf_counter() - t0, 1)
         print(json.dumps({name: results[name]}), flush=True)
-        json.dump(results, open(args.out, 'w'), indent=1)
+        with open(args.out, 'w') as _f:
+            json.dump(results, _f, indent=1)
+            _f.write('\n')
     print('wrote', args.out)
 
 

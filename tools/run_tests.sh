@@ -75,7 +75,9 @@ try:
 except Exception:
     runs = []
 runs.insert(0, rec)
-json.dump(runs[:10], open(path, 'w'), indent=1)
+with open(path, 'w') as f:
+    json.dump(runs[:10], f, indent=1)
+    f.write('\n')
 print(f'recorded run → {path} (green={rec["green"]})')
 EOF
 }
